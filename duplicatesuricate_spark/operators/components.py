@@ -1,0 +1,110 @@
+"""Connected components via alternating large-star / small-star (stage B8).
+
+The reference clusters greedily: pick a random unassigned seed, match it,
+majority-vote a gid, propagate (duplicatesuricate/merger.py:367-447).  That
+is order-dependent and non-deterministic (np.random.choice at merger.py:386).
+Its deterministic, order-independent closure over the SAME thresholded pair
+set is connected components; we compute them with the large-star/small-star
+algorithm of Kiveris et al., "Connected Components in MapReduce and Beyond"
+(SoCC'14) — O(log^2 n) rounds, each round two shuffles, no driver-side
+graph state, which is what survives at 10^12 edges where GraphX/NetworkX
+style vertex programs do not.
+
+    large-star: every node attaches its STRICTLY LARGER neighbors to the
+                minimum of its neighborhood (including itself);
+    small-star: every node attaches its not-larger neighbors (and itself)
+                to that minimum.
+
+Each iteration ``localCheckpoint``s the edge set — without it the lineage
+(and the planner's stack) grows without bound.  Convergence = the edge
+multiset is stable (checked with a cheap count + hash-sum aggregate, not a
+full subtract).
+
+``cluster_id`` is the component minimum doc_id — the deterministic stand-in
+for the reference's sha1-of-first-seen gid (merger.py:439-447).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    bi = edges.select(F.col("id_a").alias("u"), F.col("id_b").alias("v")).unionAll(
+        edges.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
+    )
+    mins = bi.groupBy("u").agg(F.min("v").alias("mv"))
+    mins = mins.select("u", F.least("mv", "u").alias("m"))
+    return (
+        bi.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("id_a"), F.col("m").alias("id_b"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    oriented = edges.select(
+        F.greatest("id_a", "id_b").alias("u"), F.least("id_a", "id_b").alias("v")
+    ).where(F.col("u") != F.col("v"))
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    leaf = (
+        oriented.join(mins, "u")
+        .where(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("id_a"), F.col("m").alias("id_b"))
+    )
+    root = mins.select(F.col("u").alias("id_a"), F.col("m").alias("id_b"))
+    return leaf.unionByName(root).distinct()
+
+
+def _signature(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("id_a", "id_b")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    pairs: DataFrame, max_iterations: int = 50, checkpoint: bool = True
+) -> DataFrame:
+    """(id_a, id_b) edge list -> (doc_id, cluster_id) for every node that
+    appears in an edge.  Nodes absent from ``pairs`` are singletons and are
+    handled by the caller (left join + coalesce to own id)."""
+    edges = pairs.select("id_a", "id_b").where(F.col("id_a") != F.col("id_b"))
+    if checkpoint:
+        edges = edges.localCheckpoint()
+    prev_sig = None
+    for _ in range(max_iterations):
+        edges = _small_star(_large_star(edges))
+        if checkpoint:
+            edges = edges.localCheckpoint()
+        sig = _signature(edges)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(f"connected_components: no fixpoint in {max_iterations} iters")
+
+    # after convergence edges form stars (node -> component min); the root
+    # itself appears only on the right side
+    members = edges.select(F.col("id_a").alias("doc_id"), F.col("id_b").alias("cluster_id"))
+    roots = edges.select(F.col("id_b").alias("doc_id"), F.col("id_b").alias("cluster_id"))
+    return (
+        members.unionByName(roots)
+        .groupBy("doc_id")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
+
+
+def assignments_with_singletons(corpus_ids: DataFrame, components: DataFrame) -> DataFrame:
+    """corpus (doc_id, content_sha256) x components -> full assignment table;
+    docs in no dup pair become their own cluster (reference semantics: a new
+    gid is minted for unmatched seeds, merger.py:433-447 — here the mint is
+    the doc's own id, deterministic)."""
+    return corpus_ids.join(components, "doc_id", "left").select(
+        "doc_id",
+        "content_sha256",
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+    )

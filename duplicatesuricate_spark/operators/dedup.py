@@ -1,0 +1,128 @@
+"""End-to-end near-duplicate pipeline (the flagship; reference lifecycle
+``Clustricate.find_duplicates``, duplicatesuricate/merger.py:390-456,
+recast per SURVEY.md §3.4).
+
+    corpus -> [exact-dedup pre-pass] -> shingle -> sketch -> bands ->
+    candidate pairs (LSH ∪ exact-substring) -> score -> threshold ->
+    connected components -> assignments / pairs
+
+Scale decisions baked in here:
+
+  * EXACT pre-pass first: group by ``content_sha256``; byte-identical files
+    (the overwhelming dup mass in a 10^12-file code corpus — forks!) become
+    star edges immediately and only ONE representative per distinct content
+    flows into shingling/sketching/LSH.  The expensive stages therefore run
+    on |distinct contents|, not |files|.
+  * The sketch table is persisted once and reused by banding and scoring.
+  * All pair sets are canonical (id_a < id_b, distinct) before CC.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from duplicatesuricate_spark.config import DedupConfig, DEFAULT_CONFIG
+from duplicatesuricate_spark.functions.text import with_shingles
+from duplicatesuricate_spark.functions.sketch import with_sketches
+from duplicatesuricate_spark.operators.lsh import (
+    band_explode,
+    candidate_pairs,
+    simhash_block_explode,
+)
+from duplicatesuricate_spark.operators.score import score_pairs, filter_dup_pairs
+from duplicatesuricate_spark.operators.substring import exact_substring_pairs
+from duplicatesuricate_spark.operators.components import (
+    connected_components,
+    assignments_with_singletons,
+)
+
+
+@dataclass
+class DedupResult:
+    assignments: DataFrame   # doc_id, content_sha256, cluster_id
+    pairs: DataFrame         # id_a, id_b, jaccard (exact), hamming, kind
+    sketches: DataFrame      # doc_id, minhash, simhash (representatives)
+
+
+def exact_dup_edges(corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Group byte-identical contents.
+
+    Returns ``(reps, edges)``: one representative row per distinct
+    ``content_sha256`` (min doc_id), and star edges (rep -> other copy).
+    A window-min over the sha key is one shuffle; no self-join.
+    """
+    w = Window.partitionBy("content_sha256")
+    tagged = corpus.withColumn("rep_id", F.min("doc_id").over(w))
+    reps = tagged.where(F.col("doc_id") == F.col("rep_id")).drop("rep_id")
+    edges = (
+        tagged.where(F.col("doc_id") != F.col("rep_id"))
+        .select(F.col("rep_id").alias("id_a"), F.col("doc_id").alias("id_b"))
+    )
+    return reps, edges
+
+
+def dedup_pipeline(
+    corpus: DataFrame,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    include_substring_pass: bool = True,
+    persist: bool = True,
+) -> DedupResult:
+    """corpus with (doc_id, content_sha256, content) -> DedupResult."""
+    reps, exact_edges = exact_dup_edges(corpus)
+
+    sketched = with_sketches(with_shingles(reps, cfg=cfg), cfg=cfg).select(
+        "doc_id", "content_sha256", "shingles", "minhash", "simhash"
+    )
+    if persist:
+        sketched = sketched.persist()
+
+    # two candidate channels under ONE banded join: MinHash LSH bands
+    # (probabilistic, Jaccard) + SimHash blocks (pigeonhole-complete for
+    # the Hamming acceptance channel)
+    bands = band_explode(sketched, cfg).unionByName(
+        simhash_block_explode(sketched, cfg)
+    )
+    cands = candidate_pairs(bands, cfg)
+    scored = score_pairs(cands, sketched, cfg)
+    near_pairs = filter_dup_pairs(scored, sketched, cfg).withColumn(
+        "kind", F.lit("near_dup")
+    )
+
+    pair_sets = [near_pairs]
+    if include_substring_pass:
+        sub = exact_substring_pairs(reps, cfg).select(
+            "id_a", "id_b",
+            F.lit(1.0).alias("jaccard"),
+            F.lit(0).alias("hamming"),
+            F.lit("exact_substring").alias("kind"),
+        )
+        pair_sets.append(sub)
+    exact = exact_edges.select(
+        "id_a", "id_b",
+        F.lit(1.0).alias("jaccard"),
+        F.lit(0).alias("hamming"),
+        F.lit("exact").alias("kind"),
+    )
+    pair_sets.append(exact)
+
+    all_pairs = pair_sets[0]
+    for p in pair_sets[1:]:
+        all_pairs = all_pairs.unionByName(p)
+    # one row per canonical pair; strongest channel wins for reporting
+    all_pairs = (
+        all_pairs.groupBy("id_a", "id_b")
+        .agg(
+            F.max("jaccard").alias("jaccard"),
+            F.min("hamming").alias("hamming"),
+            F.min("kind").alias("kind"),
+        )
+    )
+
+    comps = connected_components(all_pairs)
+    assignments = assignments_with_singletons(
+        corpus.select("doc_id", "content_sha256"), comps
+    )
+    return DedupResult(assignments=assignments, pairs=all_pairs, sketches=sketched)

@@ -1,0 +1,158 @@
+"""Exact-substring duplicate pass (stage B9).
+
+Shingle sketches miss containment: a document embedded verbatim inside a
+much larger one has low whole-doc Jaccard.  The reference's exact channel
+is its per-row exact-match blocking (duplicatesuricate/utils.py:207-214,
+connectors.py:175-205); the scalable recast is two phases:
+
+  1. CANDIDATES — content-defined chunking, all in Catalyst SQL: a chunk
+     starts at every token whose hash % ``substring_anchor_mod`` == 0
+     (anchors are content-defined, so they survive arbitrary prefix shifts
+     — the property a fixed-stride window lacks), spans
+     ``substring_window`` tokens, and is hashed with ``xxhash64``.  A
+     self-equi-join on chunk hashes + a containment ratio
+     (matched / min(chunks)) yields candidate pairs.  Chunk hashes shared
+     by more than ``hot_band_cap`` documents (license boilerplate) are
+     dropped before the join — the document-frequency cap that keeps the
+     join linear; the drop count is observable via ``chunk_df_stats``.
+
+  2. VERIFY — candidates are hydrated with both contents and checked
+     EXACTLY inside an Arrow-batched kernel: is the smaller document's
+     normalized token stream a contiguous substring of the larger one?
+     (Python's ``str in`` runs Crochemore-Perrin two-way search — the same
+     linear-time answer a suffix array gives for one pattern, without
+     building a 10^12-entry global SA.  A per-partition suffix array would
+     only see co-partitioned pairs; candidate generation above is what
+     makes the pass global.)
+
+Output pairs carry ``kind='exact_substring'`` and are unioned into the LSH
+pair set before connected components (``unionByName`` + ``distinct``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from duplicatesuricate_spark.config import DedupConfig, DEFAULT_CONFIG
+from duplicatesuricate_spark.functions.text import tokens_expr
+
+
+def chunk_hashes(corpus: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> DataFrame:
+    """(doc_id, content) -> (doc_id, chunk_hash) distinct, full-window,
+    content-defined anchored chunks."""
+    w = cfg.substring_window
+    toks = tokens_expr("content", cfg)
+    df = corpus.select("doc_id", toks.alias("toks"))
+    n = F.size("toks")
+    # anchor positions: token-hash % mod == 0 AND a full window fits;
+    # documents shorter than the window produce no chunks (they are the
+    # MinHash path's job, not containment candidates)
+    anchors = F.when(
+        n >= w,
+        F.filter(
+            F.sequence(F.lit(1), n - F.lit(w - 1)),
+            lambda i: F.pmod(
+                F.xxhash64(F.element_at("toks", i)), F.lit(cfg.substring_anchor_mod)
+            ) == 0,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = F.transform(
+        anchors, lambda i: F.xxhash64(F.concat_ws(" ", F.slice("toks", i, w)))
+    )
+    return (
+        df.select("doc_id", F.explode(F.array_distinct(chunks)).alias("chunk_hash"))
+    )
+
+
+def substring_candidates(
+    corpus: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Candidate containment pairs from shared chunk hashes."""
+    ch = chunk_hashes(corpus, cfg)
+    # document-frequency cap on hot chunks (boilerplate)
+    df_counts = ch.groupBy("chunk_hash").agg(F.count(F.lit(1)).alias("df"))
+    ch = ch.join(
+        df_counts.where(F.col("df") <= cfg.hot_band_cap).select("chunk_hash"),
+        "chunk_hash",
+    )
+    per_doc = ch.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+
+    a = ch.alias("a")
+    b = ch.alias("b")
+    matched = (
+        a.join(b, "chunk_hash")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("matched"))
+    )
+    na = per_doc.select(F.col("doc_id").alias("id_a"), F.col("n_chunks").alias("chunks_a"))
+    nb = per_doc.select(F.col("doc_id").alias("id_b"), F.col("n_chunks").alias("chunks_b"))
+    return (
+        matched.join(na, "id_a")
+        .join(nb, "id_b")
+        .where(
+            (F.col("matched") >= cfg.substring_min_chunks)
+            & (
+                F.col("matched")
+                >= F.least("chunks_a", "chunks_b") * F.lit(cfg.substring_containment)
+            )
+        )
+        .select("id_a", "id_b")
+    )
+
+
+def verify_containment(
+    candidates: DataFrame,
+    corpus: DataFrame,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """Exact check: smaller doc's normalized token stream contiguous in the
+    larger's.  Arrow-batched via mapInPandas; runs only on the (tiny
+    relative to the corpus) candidate set."""
+    docs = corpus.select("doc_id", "content")
+    hyd = (
+        candidates.join(
+            docs.select(F.col("doc_id").alias("id_a"), F.col("content").alias("content_a")),
+            "id_a",
+        ).join(
+            docs.select(F.col("doc_id").alias("id_b"), F.col("content").alias("content_b")),
+            "id_b",
+        )
+    )
+    pattern = cfg.token_pattern
+
+    def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        splitter = re.compile(pattern)
+
+        def norm(s: str) -> str:
+            return " ".join(t for t in splitter.split(s.lower()) if t)
+
+        for pdf in batches:
+            na = pdf["content_a"].map(norm)
+            nb = pdf["content_b"].map(norm)
+            keep = [
+                (sa in sb) if len(sa) <= len(sb) else (sb in sa)
+                for sa, sb in zip(na, nb)
+            ]
+            yield pdf.loc[keep, ["id_a", "id_b"]]
+
+    return hyd.mapInPandas(check, "id_a long, id_b long")
+
+
+def exact_substring_pairs(
+    corpus: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Full stage-B9 pass: candidates -> exact verify -> canonical pairs."""
+    verified = verify_containment(substring_candidates(corpus, cfg), corpus, cfg)
+    return verified.select(
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+    ).distinct()
