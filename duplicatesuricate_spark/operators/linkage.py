@@ -1,0 +1,180 @@
+"""Set-at-a-time record-linkage operators — the reference's public API
+surface, re-expressed as DataFrame transforms.
+
+The reference drives one query row at a time through blocking -> similarity
+table -> classifier -> threshold -> matches (duplicatesuricate/merger.py:
+56-124, linker.py:38-130).  Each step below is the whole-table equivalent;
+composed, they reproduce ``Suricate.start_linkage`` without the Python
+per-record loop (A18).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from duplicatesuricate_spark.functions.kernels import similarity_columns
+
+
+def blocking_pairs(
+    df: DataFrame,
+    id_col: str,
+    all_cols: list[str] | None = None,
+    any_cols: list[str] | None = None,
+) -> DataFrame:
+    """The reference's ``all_any`` blocking prefilter (connectors.py:135-213)
+    as a self-equi-join: keep pairs where ALL of ``all_cols`` match, OR ANY
+    of ``any_cols`` matches.  Set-at-a-time this is one multi-key join
+    unioned with one join per any-key, then canonicalized + distinct.
+    Null keys never match (the reference scores null as 0, i.e. not 1,
+    connectors.py:175-200)."""
+    all_cols = all_cols or []
+    any_cols = any_cols or []
+    if not all_cols and not any_cols:
+        raise ValueError("blocking needs at least one key column")
+    a = df.alias("a")
+    b = df.alias("b")
+    out: DataFrame | None = None
+
+    def pair_select(joined: DataFrame) -> DataFrame:
+        return joined.where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}")).select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+
+    if all_cols:
+        cond = None
+        for c in all_cols:
+            eq = F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}")) & F.col(f"a.{c}").isNotNull()
+            cond = eq if cond is None else (cond & eq)
+        out = pair_select(a.join(b, cond))
+    for c in any_cols:
+        eq = (F.col(f"a.{c}") == F.col(f"b.{c}"))
+        p = pair_select(a.join(b, eq))
+        out = p if out is None else out.unionByName(p)
+    return out.distinct()
+
+
+def similarity_table(
+    df: DataFrame,
+    pairs: DataFrame,
+    scoredict: dict[str, list[str]],
+    id_col: str,
+) -> DataFrame:
+    """The reference's ``build_similarity_table`` (utils.py:288-328) over a
+    pair table: hydrate both sides, emit one score column per
+    (column, kernel) with the reference's suffix convention, plus
+    ``c_source``/``c_target`` copies for 'attributes' entries."""
+    a = df.alias("a")
+    b = df.alias("b")
+    joined = (
+        pairs.join(a, pairs["id_a"] == F.col(f"a.{id_col}"))
+        .join(b, pairs["id_b"] == F.col(f"b.{id_col}"))
+    )
+    cols = [pairs["id_a"], pairs["id_b"]] + similarity_columns(scoredict)
+    return joined.select(*cols)
+
+
+def threshold_any(
+    scored: DataFrame, score_cols: list[str], threshold: float = 0.3
+) -> DataFrame:
+    """Keep pair rows where ANY score column exceeds the threshold
+    (reference connectors.py:215-232, default 0.3 at connectors.py:83)."""
+    return scored.where(F.greatest(*[F.col(c) for c in score_cols]) > F.lit(threshold))
+
+
+def rule_score(scored: DataFrame, score_cols: list[str],
+               weights: dict[str, float] | None = None) -> DataFrame:
+    """The reference's rule-based classifier (classifiers.py:351-417):
+    ``y_proba`` = (weighted) mean of the score columns, nulls filled with 0
+    (classifiers.py:55)."""
+    if weights:
+        num: Column = sum(
+            (F.coalesce(F.col(c), F.lit(0.0)) * F.lit(w) for c, w in weights.items()),
+            F.lit(0.0),
+        )
+        den = sum(weights.values()) or 1.0
+        expr = num / F.lit(float(den))
+    else:
+        terms = [F.coalesce(F.col(c), F.lit(0.0)) for c in score_cols]
+        expr = sum(terms, F.lit(0.0)) / F.lit(float(len(score_cols)))
+    return scored.withColumn("y_proba", expr)
+
+
+def decide_matches(scored: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Decision threshold on the probability column (reference
+    linker.py:99-106, classifier threshold 0.5 at classifiers.py:23)."""
+    return scored.where(F.col("y_proba") > F.lit(threshold))
+
+
+def top_k_matches(scored: DataFrame, k: int, by: str = "id_a",
+                  score_col: str = "y_proba") -> DataFrame:
+    """Top-k matches per query (reference ``match_index`` n_matches_max,
+    linker.py:108-130 — note its slice bug at linker.py:128 makes the
+    shipped limit a no-op; this is the INTENDED semantics, done with a
+    window).  Ties broken deterministically by the partner id."""
+    w = Window.partitionBy(by).orderBy(F.desc(score_col), F.asc("id_b"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def canonical_pairs(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """Order-insensitive pair dedup (reference ``unique_pairs``,
+    retrain.py:43-65: drop self-pairs, sorted pair key, drop_duplicates)."""
+    return (
+        pairs.select(
+            F.least(id_a, id_b).alias("id_a"), F.greatest(id_a, id_b).alias("id_b")
+        )
+        .where(F.col("id_a") != F.col("id_b"))
+        .distinct()
+    )
+
+
+def pairs_from_clusters(assigned: DataFrame, id_col: str = "doc_id",
+                        cluster_col: str = "cluster_id") -> DataFrame:
+    """Cluster -> all intra-cluster pairs (reference ``paired_from_gid``,
+    retrain.py:5-32: groupby gid + itertools.combinations) as a self-join
+    per group."""
+    g = assigned.select(cluster_col, id_col)
+    a = g.alias("a")
+    b = g.alias("b")
+    return (
+        a.join(b, cluster_col)
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+    )
+
+
+def majority_vote(df: DataFrame, key_col: str, vote_col: str) -> DataFrame:
+    """Per key, the most frequent vote value (reference gid majority vote,
+    merger.py:432 ``value_counts().index[0]``): groupBy count + window
+    row_number, ties broken by vote value for determinism."""
+    counted = df.groupBy(key_col, vote_col).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy(key_col).orderBy(F.desc("n"), F.asc(vote_col))
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(key_col, F.col(vote_col).alias("majority"), F.col("n").alias("votes"))
+    )
+
+
+def comparison_view(
+    df: DataFrame, pairs: DataFrame, cols: list[str], id_col: str
+) -> DataFrame:
+    """Side-by-side source/target attribute view for inspection (reference
+    ``show_comparison``, merger.py:140-230)."""
+    a = df.alias("a")
+    b = df.alias("b")
+    joined = (
+        pairs.join(a, pairs["id_a"] == F.col(f"a.{id_col}"))
+        .join(b, pairs["id_b"] == F.col(f"b.{id_col}"))
+    )
+    sel = [pairs["id_a"], pairs["id_b"]]
+    for c in cols:
+        sel.append(F.col(f"a.{c}").alias(f"{c}_source"))
+        sel.append(F.col(f"b.{c}").alias(f"{c}_target"))
+    return joined.select(*sel)

@@ -1,0 +1,178 @@
+"""Text-analysis operators for training-data pipelines.
+
+Beyond the reference's operator set (task requirement): language-ID
+(marker-token heuristic), quality scoring (length/punct/stopword ratios),
+token counting (whitespace + BPE-ish regex), and document fingerprinting
+(k-gram winnowing).  Every operator is a pure Column-expression transform
+(whole-stage codegen, no UDFs) designed so a DuckDB oracle can reproduce
+the exact values: tokenization uses the same regex in both engines and
+fingerprints use md5 (identical bytes in Spark and DuckDB), not xxhash64
+(which differs across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_RE = "[^a-z0-9_]+"
+#: BPE-ish word/number/punct splitter (shared verbatim with the oracle SQL)
+BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+#: tiny marker lexicons for the language-ID heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in"],
+    "de": ["der", "die", "und", "das", "ist", "nicht"],
+    "es": ["el", "la", "que", "los", "una", "por"],
+    "fr": ["le", "les", "des", "une", "est", "dans"],
+}
+
+STOPWORDS = LANG_MARKERS["en"] + ["a", "for", "on", "with", "as", "by"]
+
+
+def _toks(text: Column | str) -> Column:
+    col = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.lower(col), TOKEN_RE), lambda t: t != F.lit(""))
+
+
+def token_counts(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """(id, ws_tokens, bpe_tokens, n_chars_norm): whitespace token count and
+    a BPE-ish regex token count (lowercased)."""
+    lower = F.lower(F.col(text_col))
+    ws = F.size(F.filter(F.split(F.col(text_col), "\\s+"), lambda t: t != F.lit("")))
+    bpe = F.size(F.regexp_extract_all(lower, F.lit(BPE_RE), 0))
+    return df.select(
+        F.col(id_col),
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        F.length(lower).alias("n_chars_norm"),
+    )
+
+
+def quality_scores(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality features + composite score in [0,1]:
+    mean word length sanity, stopword ratio, alphabetic ratio.
+    Ratios are rounded to 6 decimals so an oracle can value-match."""
+    toks = _toks(text_col)
+    n_tok = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    alpha_chars = F.length(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z]", ""))
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
+    mean_wlen = F.when(n_tok > 0, alpha_chars.cast("double") / n_tok).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, stop_hits.cast("double") / n_tok).otherwise(F.lit(0.0))
+    alpha_ratio = F.when(n_chars > 0, alpha_chars.cast("double") / n_chars).otherwise(F.lit(0.0))
+    quality = (
+        F.when((n_tok >= 10) & (mean_wlen >= 2.0) & (mean_wlen <= 12.0), F.lit(0.5))
+        .otherwise(F.lit(0.0))
+        + F.least(stop_ratio * 2, F.lit(0.25))
+        + F.least(alpha_ratio, F.lit(0.25))
+    )
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        F.round(mean_wlen, 6).alias("mean_word_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Marker-token language heuristic: count lexicon hits per language
+    (with multiplicity), predict the argmax; ties broken by language code.
+    Returns (id, lang_pred, lang_hits)."""
+    toks = _toks(text_col)
+    langs = sorted(LANG_MARKERS)
+
+    def _hit_count(markers: list[str]) -> Column:
+        # NB: single-param lambda only — a 2-param lambda would be
+        # interpreted by Spark as (element, index)
+        return F.size(F.filter(toks, lambda t: t.isin(markers)))
+
+    hits = {lang: _hit_count(LANG_MARKERS[lang]) for lang in langs}
+    best = F.greatest(*hits.values()) if len(hits) > 1 else next(iter(hits.values()))
+    # first language (alphabetical) reaching the max wins — trivially
+    # reproducible as a CASE chain in the oracle SQL
+    pred = F.when(hits[langs[0]] == best, F.lit(langs[0]))
+    for lang in langs[1:]:
+        pred = pred.when(hits[lang] == best, F.lit(lang))
+    return df.select(
+        F.col(id_col),
+        pred.alias("lang_pred"),
+        best.alias("lang_hits"),
+    )
+
+
+def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                 k: int = 5) -> DataFrame:
+    """Winnowing-style document fingerprint: minimum md5 over the document's
+    k-gram token windows (Schleimer et al., SIGMOD'03, window = whole doc).
+    md5 (not xxhash64) so DuckDB reproduces the exact value.  Short docs
+    fingerprint their full token stream."""
+    toks = _toks(text_col)
+    n = F.size(toks)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(k - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
+        ),
+    ).otherwise(F.array(F.md5(F.concat_ws(" ", toks))))
+    return df.select(
+        F.col(id_col),
+        F.array_min(grams).alias("fingerprint"),
+        n.alias("n_tokens"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_shared: int = 1,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """n-gram Jaccard near-dup pairs, fully SQL-expressible (the oracle-
+    checkable cousin of the MinHash path): explode distinct k-gram md5s,
+    self-join on gram, count matches per pair, Jaccard by
+    inclusion-exclusion.  Scales as the gram join (document-frequency
+    bounded at the caller's discretion), not as all-pairs."""
+    toks = _toks(text_col)
+    n = F.size(toks)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(k - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
+        ),
+    ).otherwise(F.array(F.md5(F.concat_ws(" ", toks))))
+    g = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(grams)).alias("gram"),
+    )
+    sizes = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = g.alias("a")
+    b = g.alias("b")
+    matched = (
+        a.join(b, "gram")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )
+    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_grams").alias("grams_a"))
+    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_grams").alias("grams_b"))
+    jac = F.col("shared").cast("double") / (
+        F.col("grams_a") + F.col("grams_b") - F.col("shared")
+    ).cast("double")
+    return (
+        matched.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "shared", "jaccard")
+    )

@@ -1,0 +1,163 @@
+"""Incremental + streaming dedup.
+
+The reference is pure batch; the north rule's resumability is batch-
+incremental (SURVEY.md §2 "Streaming" note).  This module adds both:
+
+  * ``incremental_dedup`` — merge a NEW batch of documents into persisted
+    dedup state (sketches + assignments in parquet; Iceberg tables in
+    production).  Only the new docs are shingled/sketched; their bands
+    join against the persisted band index; connected components re-run
+    over (previous assignment edges ∪ new pairs) — the assignment edges
+    are stars, so the union graph is small and CC converges in O(1)
+    iterations for unchanged components.  Docs already in the state are
+    skipped via a left-anti join on doc_id (the checkpoint-resume delta).
+
+  * ``stream_dedup`` — Structured Streaming wrapper: ``foreachBatch``
+    drives the SAME incremental function per micro-batch, so batch and
+    streaming share one code path (and one test oracle).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duplicatesuricate_spark.config import DedupConfig, DEFAULT_CONFIG
+from duplicatesuricate_spark.functions.text import with_shingles
+from duplicatesuricate_spark.functions.sketch import with_sketches
+from duplicatesuricate_spark.operators.lsh import (
+    band_explode,
+    candidate_pairs,
+    simhash_block_explode,
+)
+from duplicatesuricate_spark.operators.score import score_pairs, filter_dup_pairs
+from duplicatesuricate_spark.operators.components import (
+    connected_components,
+    assignments_with_singletons,
+)
+
+_SKETCH_COLS = ["doc_id", "content_sha256", "shingles", "minhash", "simhash"]
+
+
+class DedupState:
+    """Parquet-backed mutable state: sketches + assignments."""
+
+    def __init__(self, spark: SparkSession, state_dir: str):
+        self.spark = spark
+        self.dir = Path(state_dir)
+
+    def _read(self, name: str, schema: str) -> DataFrame:
+        p = self.dir / name
+        if (p / "_SUCCESS").exists():
+            return self.spark.read.parquet(str(p))
+        return self.spark.createDataFrame([], schema)
+
+    def sketches(self) -> DataFrame:
+        return self._read(
+            "sketches",
+            "doc_id long, content_sha256 string, shingles array<long>, "
+            "minhash array<int>, simhash long",
+        )
+
+    def assignments(self) -> DataFrame:
+        return self._read(
+            "assignments", "doc_id long, content_sha256 string, cluster_id long"
+        )
+
+    def write(self, name: str, df: DataFrame) -> None:
+        tmp = str(self.dir / f"_tmp_{name}")
+        df.write.mode("overwrite").parquet(tmp)
+        final = self.dir / name
+        if final.exists():
+            import shutil
+
+            shutil.rmtree(final)
+        Path(tmp).rename(final)
+
+
+def incremental_dedup(
+    spark: SparkSession,
+    new_corpus: DataFrame,
+    state_dir: str,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """Merge new (doc_id, content_sha256, content) rows into the state;
+    returns the updated full assignments table."""
+    state = DedupState(spark, state_dir)
+    old_sk = state.sketches()
+    old_assign = state.assignments()
+
+    # delta: docs not yet processed (checkpoint-resume semantics)
+    fresh = new_corpus.join(old_sk.select("doc_id"), "doc_id", "left_anti")
+    fresh_sk = with_sketches(with_shingles(fresh, cfg=cfg), cfg=cfg).select(
+        *_SKETCH_COLS
+    )
+    all_sk = old_sk.unionByName(fresh_sk).persist()
+
+    # candidate pairs touching at least one fresh doc: band the UNION but
+    # keep only buckets containing a fresh doc (cheap filter via semi-join
+    # of band keys against fresh band keys)
+    all_bands = band_explode(all_sk, cfg).unionByName(
+        simhash_block_explode(all_sk, cfg)
+    )
+    fresh_ids = fresh_sk.select("doc_id")
+    fresh_bands = all_bands.join(fresh_ids, "doc_id", "left_semi").select(
+        "band", "band_hash"
+    ).distinct()
+    touched = all_bands.join(fresh_bands, ["band", "band_hash"], "left_semi")
+    cands = candidate_pairs(touched, cfg)
+    new_pairs = filter_dup_pairs(score_pairs(cands, all_sk, cfg), all_sk, cfg)
+
+    # previous components as star edges + new pairs -> re-converge
+    old_edges = old_assign.where(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("cluster_id").alias("id_a"), F.col("doc_id").alias("id_b")
+    )
+    # exact dups across old/new: same sha -> same cluster
+    sha_edges_src = all_sk.select("doc_id", "content_sha256")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("content_sha256")
+    sha_edges = (
+        sha_edges_src.withColumn("rep", F.min("doc_id").over(w))
+        .where(F.col("doc_id") != F.col("rep"))
+        .select(F.col("rep").alias("id_a"), F.col("doc_id").alias("id_b"))
+    )
+    edges = (
+        new_pairs.select("id_a", "id_b")
+        .unionByName(old_edges)
+        .unionByName(sha_edges)
+        .distinct()
+    )
+    comps = connected_components(edges)
+    assignments = assignments_with_singletons(
+        all_sk.select("doc_id", "content_sha256"), comps
+    )
+
+    state.write("assignments", assignments)
+    state.write("sketches", all_sk)
+    all_sk.unpersist()
+    return state.assignments()
+
+
+def stream_dedup(
+    corpus_stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+):
+    """Structured Streaming entry: each micro-batch flows through
+    ``incremental_dedup``.  The input stream must carry
+    (doc_id, content_sha256, content)."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        incremental_dedup(batch_df.sparkSession, batch_df, state_dir, cfg)
+
+    return (
+        corpus_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )

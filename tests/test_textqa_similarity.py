@@ -1,0 +1,138 @@
+"""Tier-2 tests: text-analysis + embedding-similarity operators, including
+DuckDB value-parity spot checks (the same mechanism the driver's
+correctness gate uses)."""
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from duplicatesuricate_spark.operators.textqa import (
+    token_counts,
+    quality_scores,
+    language_id,
+    fingerprints,
+    ngram_jaccard_pairs,
+)
+from duplicatesuricate_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+    embedding_near_dup_pairs,
+    hyperplanes,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog and runs to the forest"),
+    (2, "the quick brown fox jumps over the lazy dog and runs to the woods"),
+    (3, "der schnelle braune fuchs springt und das ist nicht genug der die das"),
+    (4, "x"),
+    (5, ""),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_token_counts(spark, docs):
+    got = {r.doc_id: (r.ws_tokens, r.bpe_tokens) for r in token_counts(docs).collect()}
+    assert got[1][0] == 14
+    assert got[4] == (1, 1)
+    assert got[5] == (0, 0)
+
+
+def test_quality_scores_bounds(spark, docs):
+    rows = quality_scores(docs).collect()
+    for r in rows:
+        assert 0.0 <= r.quality <= 1.0
+        assert 0.0 <= r.stopword_ratio <= 1.0
+    by_id = {r.doc_id: r for r in rows}
+    assert by_id[1].quality > by_id[4].quality   # real sentence beats "x"
+    assert by_id[5].n_tokens == 0
+
+
+def test_language_id(spark, docs):
+    got = {r.doc_id: r.lang_pred for r in language_id(docs).collect()}
+    assert got[1] == "en"
+    assert got[3] == "de"
+
+
+def test_fingerprint_matches_duckdb(spark, docs):
+    spark_fp = {r.doc_id: r.fingerprint for r in fingerprints(docs).collect()}
+    con = duckdb.connect()
+    con.execute("create table d as select * from (values " +
+                ",".join(f"({i}, '{t}')" for i, t in DOCS) + ") t(doc_id, text)")
+    sql = """
+      with toks as (
+        select doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                           x -> x <> '') as tk
+        from d
+      ), grams as (
+        -- NB coalesce: duckdb array_to_string([]) is NULL, spark concat_ws is ''
+        select doc_id,
+               case when len(tk) >= 5
+                    then [md5(array_to_string(tk[i:i+4], ' '))
+                          for i in range(1, len(tk) - 3)]
+                    else [md5(coalesce(array_to_string(tk, ' '), ''))] end as gs
+        from toks
+      )
+      select doc_id, list_min(gs) as fingerprint from grams
+    """
+    duck_fp = {r[0]: r[1] for r in con.execute(sql).fetchall()}
+    assert spark_fp == duck_fp
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    got = {(r.id_a, r.id_b): r.jaccard
+           for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    assert (1, 2) in got and got[(1, 2)] > 0.5
+    assert all(3 not in p and 4 not in p for p in got)
+
+
+# ------------------------------------------------------------- similarity
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.RandomState(11)
+    base = rng.normal(size=(20, 8)).astype(np.float32)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    # vector 20 = near-copy of vector 0
+    rows.append((20, [float(x) for x in (base[0] + 0.01 * rng.normal(size=8).astype(np.float32))]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk_finds_planted_neighbor(spark, vectors):
+    probes = vectors.where(F.col("vec_id") == 0)
+    got = brute_force_topk(vectors, probes, k=3, id_col="vec_id").collect()
+    assert got[0].vec_id == 20 and got[0].rank == 1 and got[0].cosine > 0.99
+
+
+def test_brute_force_matches_numpy_oracle(spark, vectors):
+    pdf = vectors.toPandas().set_index("vec_id")
+    M = np.vstack(pdf["embedding"].map(np.asarray))
+    ids = list(pdf.index)
+    q = M[ids.index(5)]
+    cos = (M @ q) / (np.linalg.norm(M, axis=1) * np.linalg.norm(q))
+    order = [ids[i] for i in np.argsort(-cos) if ids[i] != 5][:5]
+    probes = vectors.where(F.col("vec_id") == 5)
+    got = [r.vec_id for r in
+           brute_force_topk(vectors, probes, k=5).orderBy("rank").collect()]
+    assert got == order
+
+
+def test_lsh_topk_is_subset_quality(spark, vectors):
+    """LSH with few planes must still return the planted near-copy for its
+    own bucket (identical-direction vectors share every sign bit)."""
+    probes = vectors.where(F.col("vec_id") == 0)
+    got = lsh_topk(vectors, probes, k=3, n_planes=6, dim=8).collect()
+    assert any(r.vec_id == 20 for r in got)
+
+
+def test_embedding_near_dup_pairs(spark, vectors):
+    got = {(r.id_a, r.id_b) for r in
+           embedding_near_dup_pairs(vectors, threshold=0.99, n_planes=6, dim=8).collect()}
+    assert (0, 20) in got
+    assert len(got) <= 3
