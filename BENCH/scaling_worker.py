@@ -1,0 +1,48 @@
+#!/usr/bin/env python
+"""One scaling-run worker: full dedup pipeline on a prepared parquet corpus
+at a given core count, fresh JVM.  Prints one JSON line.
+
+Usage: python BENCH/scaling_worker.py <cores> <corpus_parquet>
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from duplicatesuricate_spark import get_spark  # noqa: E402
+from duplicatesuricate_spark.operators.dedup import dedup_pipeline  # noqa: E402
+from duplicatesuricate_spark.sources.corpus import with_doc_identity  # noqa: E402
+
+
+def main() -> None:
+    cores = int(sys.argv[1])
+    corpus_path = sys.argv[2]
+    spark = get_spark(app_name=f"scaling-{cores}", cores=cores,
+                      shuffle_partitions=cores * 2)
+    corpus = with_doc_identity(spark.read.parquet(corpus_path))
+    n = corpus.count()  # warm up: JVM, parquet footer, codegen
+
+    t0 = time.monotonic()
+    res = dedup_pipeline(corpus)
+    n_assign = res.assignments.count()
+    n_pairs = res.pairs.count()
+    wall = time.monotonic() - t0
+
+    print(json.dumps({
+        "cores": cores,
+        "n_docs": n,
+        "n_assignments": n_assign,
+        "n_pairs": n_pairs,
+        "wall_sec": round(wall, 2),
+        "files_per_sec": round(n / wall, 2),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
