@@ -103,7 +103,7 @@ def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ngram_jaccard_pairs(_docs(spark, sf_dir), k=5, threshold=0.3)
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), k=5, threshold=0.3, max_df=256)
 
 
 def _q_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -182,14 +182,12 @@ def _q_topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_cluster_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A21: cluster -> intra-cluster pairs (clusters = identical text)."""
-    d = _docs(spark, sf_dir).select("doc_id", "text")
-    a, b = d.alias("a"), d.alias("b")
-    return (
-        a.join(b, "text")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-    )
+    """A21 (reference paired_from_gid, retrain.py:5-32): gid column ->
+    all intra-group canonical pairs; gid = source."""
+    from duplicatesuricate_spark.operators.linkage import pairs_from_clusters
+
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    return pairs_from_clusters(d, id_col="doc_id", cluster_col="source")
 
 
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -367,7 +365,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ngram_jaccard_pairs": f"""
             with g0 as (select doc_id, {_GRAMS5} as gs from documents),
-            g as (select doc_id, unnest(gs) as gram from g0),
+            gx as (select doc_id, unnest(gs) as gram from g0),
+            keep as (select gram from gx group by gram having count(*) <= 256),
+            g as (select gx.* from gx join keep using (gram)),
             sizes as (select doc_id, count(*) as n_grams from g group by doc_id),
             m as (
               select a.doc_id as id_a, b.doc_id as id_b, count(*) as shared
@@ -442,7 +442,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cluster_pairs": """
             select a.doc_id as id_a, b.doc_id as id_b
-            from documents a join documents b on a.text = b.text
+            from documents a join documents b on a.source = b.source
             where a.doc_id < b.doc_id
         """,
         "ann_cosine_topk": """

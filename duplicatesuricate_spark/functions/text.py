@@ -52,9 +52,18 @@ def with_tokens(df: DataFrame, content_col: str = "content",
 
 def with_shingles(df: DataFrame, content_col: str = "content",
                   cfg: DedupConfig = DEFAULT_CONFIG) -> DataFrame:
-    """content -> shingles array<long>; drops the intermediate token array."""
-    return df.withColumn(
-        "shingles", shingles_expr(tokens_expr(content_col, cfg), cfg)
+    """content -> shingles array<long>; drops the intermediate token array.
+
+    The token array is MATERIALIZED as its own column first: Catalyst
+    inlines expressions referenced inside higher-order-function lambdas,
+    so composing ``shingles_expr(tokens_expr(...))`` directly would
+    re-tokenize the full document once per gram — quadratic per row and
+    interpreted (HOFs don't codegen).  Two projections keep tokenization
+    linear."""
+    return (
+        df.withColumn("__tokens", tokens_expr(content_col, cfg))
+        .withColumn("shingles", shingles_expr(F.col("__tokens"), cfg))
+        .drop("__tokens")
     )
 
 

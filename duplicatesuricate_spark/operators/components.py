@@ -66,13 +66,57 @@ def _signature(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def _driver_union_find(edges_rows: list) -> list[tuple[int, int]]:
+    """Union-find on collected edges; labels = component min (identical to
+    the distributed algorithm's output)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in edges_rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    return [(n, find(n)) for n in parent]
+
+
 def connected_components(
-    pairs: DataFrame, max_iterations: int = 50, checkpoint: bool = True
+    pairs: DataFrame,
+    max_iterations: int = 50,
+    checkpoint: bool = True,
+    driver_threshold: int = 2_000_000,
 ) -> DataFrame:
     """(id_a, id_b) edge list -> (doc_id, cluster_id) for every node that
     appears in an edge.  Nodes absent from ``pairs`` are singletons and are
-    handled by the caller (left join + coalesce to own id)."""
+    handled by the caller (left join + coalesce to own id).
+
+    Size-adaptive: below ``driver_threshold`` edges the component labels
+    are computed with driver-side union-find (the dup-pair set after
+    thresholding is typically tiny relative to the corpus — paying 4+
+    shuffles per large-star round for a few thousand edges is pure
+    overhead); above it, the distributed large-star/small-star loop runs.
+    Both paths emit identical labels (component min), so the switch is
+    invisible to callers and to tests."""
     edges = pairs.select("id_a", "id_b").where(F.col("id_a") != F.col("id_b"))
+    if driver_threshold > 0:
+        edges = edges.persist()
+        n_edges = edges.count()
+        if n_edges <= driver_threshold:
+            rows = [(r[0], r[1]) for r in edges.collect()]
+            edges.unpersist()
+            spark = pairs.sparkSession
+            return spark.createDataFrame(
+                _driver_union_find(rows), "doc_id long, cluster_id long"
+            )
     if checkpoint:
         edges = edges.localCheckpoint()
     prev_sig = None

@@ -73,6 +73,12 @@ def dedup_pipeline(
     """corpus with (doc_id, content_sha256, content) -> DedupResult."""
     reps, exact_edges = exact_dup_edges(corpus)
 
+    # shingling + sketching are compute-heavy per byte: make sure they are
+    # not serialized by a single-file scan or an AQE-coalesced shuffle
+    # (no-op when the input already has >= defaultParallelism partitions)
+    from duplicatesuricate_spark.functions.util import ensure_min_partitions
+
+    reps = ensure_min_partitions(reps)
     sketched = with_sketches(with_shingles(reps, cfg=cfg), cfg=cfg).select(
         "doc_id", "content_sha256", "shingles", "minhash", "simhash"
     )

@@ -84,9 +84,12 @@ def candidate_pairs(bands: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> Data
     (duplicatesuricate/retrain.py:43-65: drop self-pairs, order-insensitive
     key, drop duplicates) as ``least/greatest + filter + distinct``.
     """
-    # bucketed repartitioning on the band keys: one explicit exchange that
-    # the window count AND the self-join both consume
-    b = bands.repartition(cfg.shuffle_partitions, "band", "band_hash")
+    # bucketed repartitioning on the band keys: ONE explicit exchange that
+    # the window count AND the self-join both consume.  No partition count
+    # is pinned — using the session's shuffle-partition number lets the
+    # window's required HashPartitioning match exactly (a different count
+    # would force a second exchange) and lets AQE size it.
+    b = bands.repartition("band", "band_hash")
     w = Window.partitionBy("band", "band_hash")
     tagged = b.withColumn("bucket_n", F.count(F.lit(1)).over(w))
 

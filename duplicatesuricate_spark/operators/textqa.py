@@ -55,7 +55,8 @@ def quality_scores(df: DataFrame, text_col: str = "text",
     """Heuristic quality features + composite score in [0,1]:
     mean word length sanity, stopword ratio, alphabetic ratio.
     Ratios are rounded to 6 decimals so an oracle can value-match."""
-    toks = _toks(text_col)
+    df = df.select(F.col(id_col), F.col(text_col), _toks(text_col).alias("__toks"))
+    toks = F.col("__toks")
     n_tok = F.size(toks)
     n_chars = F.length(F.col(text_col))
     alpha_chars = F.length(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z]", ""))
@@ -84,7 +85,8 @@ def language_id(df: DataFrame, text_col: str = "text",
     """Marker-token language heuristic: count lexicon hits per language
     (with multiplicity), predict the argmax; ties broken by language code.
     Returns (id, lang_pred, lang_hits)."""
-    toks = _toks(text_col)
+    df = df.select(F.col(id_col), _toks(text_col).alias("__toks"))
+    toks = F.col("__toks")
     langs = sorted(LANG_MARKERS)
 
     def _hit_count(markers: list[str]) -> Column:
@@ -111,8 +113,13 @@ def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     """Winnowing-style document fingerprint: minimum md5 over the document's
     k-gram token windows (Schleimer et al., SIGMOD'03, window = whole doc).
     md5 (not xxhash64) so DuckDB reproduces the exact value.  Short docs
-    fingerprint their full token stream."""
-    toks = _toks(text_col)
+    fingerprint their full token stream.
+
+    Tokens are materialized as a column before the per-gram lambda — see
+    ``with_shingles`` for why (lambda inlining makes the composed
+    expression quadratic per row)."""
+    t = df.select(F.col(id_col), _toks(text_col).alias("toks"))
+    toks = F.col("toks")
     n = F.size(toks)
     grams = F.when(
         n >= k,
@@ -121,7 +128,7 @@ def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
         ),
     ).otherwise(F.array(F.md5(F.concat_ws(" ", toks))))
-    return df.select(
+    return t.select(
         F.col(id_col),
         F.array_min(grams).alias("fingerprint"),
         n.alias("n_tokens"),
@@ -135,13 +142,28 @@ def ngram_jaccard_pairs(
     k: int = 5,
     min_shared: int = 1,
     threshold: float = 0.5,
+    max_df: int = 256,
 ) -> DataFrame:
     """n-gram Jaccard near-dup pairs, fully SQL-expressible (the oracle-
     checkable cousin of the MinHash path): explode distinct k-gram md5s,
     self-join on gram, count matches per pair, Jaccard by
-    inclusion-exclusion.  Scales as the gram join (document-frequency
-    bounded at the caller's discretion), not as all-pairs."""
-    toks = _toks(text_col)
+    inclusion-exclusion.
+
+    Scale: grams appearing in more than ``max_df`` documents (boilerplate)
+    are dropped BEFORE the join — the join cost is then bounded by
+    sum(df_g^2) <= max_df * |gram rows| instead of quadratic in the
+    hottest gram.  Jaccard is computed over the CAPPED gram sets (sizes
+    counted after the cap), a deterministic, oracle-reproducible
+    semantics."""
+    from duplicatesuricate_spark.functions.util import ensure_min_partitions
+
+    # tokens materialized before the lambda (see with_shingles), and the
+    # gram table materialized ONCE: it is referenced four times below
+    # (df-cap count, both join sides, per-doc sizes)
+    t = ensure_min_partitions(df).select(
+        F.col(id_col).alias("doc_id"), _toks(text_col).alias("toks")
+    )
+    toks = F.col("toks")
     n = F.size(toks)
     grams = F.when(
         n >= k,
@@ -150,10 +172,17 @@ def ngram_jaccard_pairs(
             lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
         ),
     ).otherwise(F.array(F.md5(F.concat_ws(" ", toks))))
-    g = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(grams)).alias("gram"),
-    )
+    g = t.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("gram")
+    ).localCheckpoint()
+    if max_df > 0:
+        keep = (
+            g.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("gram_df"))
+            .where(F.col("gram_df") <= max_df)
+            .select("gram")
+        )
+        g = g.join(keep, "gram")
     sizes = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     a = g.alias("a")
     b = g.alias("b")

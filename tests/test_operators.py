@@ -173,11 +173,16 @@ def _union_find_oracle(n, edges):
 
 
 @pytest.mark.parametrize("seed,n,m", [(1, 30, 25), (2, 50, 60), (3, 80, 40)])
-def test_connected_components_matches_union_find(spark, seed, n, m):
+@pytest.mark.parametrize("driver_threshold", [2_000_000, 0])
+def test_connected_components_matches_union_find(spark, seed, n, m, driver_threshold):
+    """driver_threshold=0 forces the distributed large-star/small-star
+    loop; the default exercises the driver union-find fast path.  Both
+    must emit identical component-min labels."""
     rng = random.Random(seed)
     edges = list({tuple(sorted(rng.sample(range(n), 2))) for _ in range(m)})
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
-    got = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
+    got = {r.doc_id: r.cluster_id
+           for r in connected_components(pairs, driver_threshold=driver_threshold).collect()}
     oracle = _union_find_oracle(n, edges)
     touched = {x for e in edges for x in e}
     for node in touched:
