@@ -1,0 +1,179 @@
+"""User-facing façade — the reference's entry points, set-at-a-time.
+
+``Suricate`` (linkage to pairs, duplicatesuricate/merger.py:14-124) and
+``Clustricate`` (dedup to group ids, merger.py:338-456) drive a Python
+per-record loop; these classes run the same lifecycle as whole-table
+DataFrame plans.  A user of the reference maps:
+
+    Suricate(input_records, linker).start_linkage()
+        -> SuricateSpark(df, scoredict, blocking).start_linkage()
+    Suricate.build_training_table(..., y_true)
+        -> SuricateSpark.build_training_table(y_true_pairs)
+    Clustricate.find_duplicates(n_runs)
+        -> ClustricateSpark(df).find_duplicates()      # no n_runs: the CC
+                                                       # closure replaces the
+                                                       # seeded greedy loop
+    Clustricate.show_group(gid)  -> ClustricateSpark.show_group(cluster_id)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from duplicatesuricate_spark.config import DedupConfig, DEFAULT_CONFIG
+from duplicatesuricate_spark.operators.components import connected_components
+from duplicatesuricate_spark.operators.dedup import DedupResult, dedup_pipeline
+from duplicatesuricate_spark.operators.linkage import (
+    blocking_pairs,
+    canonical_pairs,
+    decide_matches,
+    rule_score,
+    similarity_table,
+    threshold_any,
+)
+
+
+def build_training_table(
+    df: DataFrame,
+    labeled_pairs: DataFrame,
+    scoredict: dict[str, list[str]],
+    id_col: str,
+    label_col: str = "y_true",
+) -> DataFrame:
+    """Reference ``Suricate.build_training_table`` (merger.py:232-274):
+    similarity vector per labeled pair — the SAME scoring path inference
+    uses, plus the label column."""
+    pairs = labeled_pairs.select("id_a", "id_b", label_col)
+    scored = similarity_table(df, pairs.select("id_a", "id_b"), scoredict, id_col)
+    return scored.join(pairs, ["id_a", "id_b"])
+
+
+class SuricateSpark:
+    """Record linkage: blocking -> similarity -> score -> threshold ->
+    canonical pairs, as one DataFrame plan."""
+
+    def __init__(
+        self,
+        target: DataFrame,
+        id_col: str,
+        scoredict: dict[str, list[str]],
+        blocking_all: list[str] | None = None,
+        blocking_any: list[str] | None = None,
+        prefilter_threshold: float = 0.3,
+        decision_threshold: float = 0.5,
+        classifier=None,
+    ):
+        self.target = target
+        self.id_col = id_col
+        self.scoredict = scoredict
+        self.blocking_all = blocking_all
+        self.blocking_any = blocking_any
+        self.prefilter_threshold = prefilter_threshold
+        self.decision_threshold = decision_threshold
+        self.classifier = classifier
+        # config coherency at plan-build time (reference linker.py:27-36)
+        attrs = set(target.columns)
+        for kind, cols in scoredict.items():
+            missing = set(cols or []) - attrs
+            if missing:
+                raise ValueError(f"scoredict[{kind}] references missing columns {missing}")
+
+    def _score_cols(self) -> list[str]:
+        from duplicatesuricate_spark.functions.kernels import SCORE_SUFFIX
+
+        return [
+            c + SCORE_SUFFIX[kind]
+            for kind, cols in self.scoredict.items()
+            if kind in SCORE_SUFFIX
+            for c in cols or []
+        ]
+
+    def scores(self) -> DataFrame:
+        pairs = blocking_pairs(
+            self.target, self.id_col, self.blocking_all, self.blocking_any
+        )
+        scored = similarity_table(self.target, pairs, self.scoredict, self.id_col)
+        return threshold_any(scored, self._score_cols(), self.prefilter_threshold)
+
+    def start_linkage(self) -> DataFrame:
+        """-> (id_a, id_b, y_proba) canonical match pairs (merger.py:56-124
+        without the loop; unpack+unique_pairs semantics of merger.py:121-123
+        with the ``ix_targets`` KeyError bug fixed by construction)."""
+        scored = self.scores()
+        if self.classifier is not None:
+            ranked = self.classifier.predict_proba(scored)
+        else:
+            ranked = rule_score(scored, self._score_cols())
+        matches = decide_matches(ranked, self.decision_threshold)
+        return canonical_pairs(matches).join(
+            matches.select("id_a", "id_b", "y_proba"), ["id_a", "id_b"]
+        )
+
+    def build_training_table(self, y_true_pairs: DataFrame) -> DataFrame:
+        return build_training_table(
+            self.target, y_true_pairs, self.scoredict, self.id_col
+        )
+
+
+class ClustricateSpark:
+    """Full dedup to cluster ids over the corpus shape (repo, path, commit,
+    lang, content) — the deterministic closure of the reference's greedy
+    gid assignment (merger.py:367-447)."""
+
+    def __init__(self, corpus: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG):
+        self.corpus = corpus
+        self.cfg = cfg
+        self._result: DedupResult | None = None
+
+    def find_duplicates(self) -> DataFrame:
+        if self._result is None:
+            self._result = dedup_pipeline(self.corpus, self.cfg)
+        return self._result.assignments
+
+    @property
+    def pairs(self) -> DataFrame:
+        self.find_duplicates()
+        return self._result.pairs
+
+    def show_group(self, cluster_id: int) -> DataFrame:
+        """Reference ``show_group`` (merger.py:448-456)."""
+        return self.find_duplicates().where(
+            F.col("cluster_id") == F.lit(cluster_id)
+        )
+
+
+class SuricateLinkPairs:
+    """Linkage between TWO tables (the reference's input_records vs target
+    case, merger.py:20-22): same lifecycle, pairs are (query id, target id)
+    — not canonicalized, since the sides are distinct relations."""
+
+    def __init__(self, queries: DataFrame, target: DataFrame, id_col: str,
+                 scoredict: dict[str, list[str]],
+                 blocking_keys: list[str],
+                 decision_threshold: float = 0.5):
+        self.queries = queries
+        self.target = target
+        self.id_col = id_col
+        self.scoredict = scoredict
+        self.blocking_keys = blocking_keys
+        self.decision_threshold = decision_threshold
+
+    def start_linkage(self) -> DataFrame:
+        from duplicatesuricate_spark.functions.kernels import similarity_columns
+
+        q = self.queries.alias("a")
+        t = self.target.alias("b")
+        cond = None
+        for k in self.blocking_keys:
+            eq = F.col(f"a.{k}") == F.col(f"b.{k}")
+            cond = eq if cond is None else (cond | eq)
+        joined = q.join(t, cond)
+        cols = [
+            F.col(f"a.{self.id_col}").alias("id_a"),
+            F.col(f"b.{self.id_col}").alias("id_b"),
+        ] + similarity_columns(self.scoredict)
+        scored = joined.select(*cols)
+        score_cols = [c for c in scored.columns if c.endswith("score")]
+        ranked = rule_score(scored, score_cols)
+        return ranked.where(F.col("y_proba") > F.lit(self.decision_threshold))
