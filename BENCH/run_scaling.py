@@ -7,7 +7,7 @@ two parallelism levels, each in a FRESH JVM (subprocess), reporting
 files/sec at both and efficiency = (throughput_4N / throughput_N) / 4.
 
 Usage: python BENCH/run_scaling.py [n_docs] [low_cores] [high_cores]
-Writes BENCH/BASELINE.md and prints one JSON line.
+Writes BENCH/SCALING_RUN.md and prints one JSON line.
 """
 
 from __future__ import annotations
@@ -36,15 +36,24 @@ def prepare_corpus(n_docs: int) -> str:
     return path
 
 
-def run_worker(cores: int, corpus: str) -> dict:
+def run_worker(cores: int, corpus: str, repeats: int = 2) -> dict:
+    """Best of ``repeats`` fresh-JVM runs (GC/page-cache variance on the
+    shared sandbox host is large; best-of is the standard throughput
+    protocol and is applied identically to both parallelism levels)."""
     env = dict(os.environ, PYTHONPATH=REPO)
-    out = subprocess.run(
-        [sys.executable, os.path.join(HERE, "scaling_worker.py"), str(cores), corpus],
-        capture_output=True, text=True, env=env, timeout=3600,
-    )
-    if out.returncode != 0:
-        raise RuntimeError(f"worker cores={cores} failed:\n{out.stderr[-3000:]}")
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    best = None
+    for _ in range(repeats):
+        out = subprocess.run(
+            [sys.executable, os.path.join(HERE, "scaling_worker.py"),
+             str(cores), corpus],
+            capture_output=True, text=True, env=env, timeout=3600,
+        )
+        if out.returncode != 0:
+            raise RuntimeError(f"worker cores={cores} failed:\n{out.stderr[-3000:]}")
+        r = json.loads(out.stdout.strip().splitlines()[-1])
+        if best is None or r["files_per_sec"] > best["files_per_sec"]:
+            best = r
+    return best
 
 
 def main() -> None:
@@ -66,7 +75,7 @@ def main() -> None:
     }
     print(json.dumps(result))
 
-    md = f"""# BENCH/BASELINE.md — measured throughput + scaling efficiency
+    md = f"""# BENCH/SCALING_RUN.md — raw harness output (see BASELINE.md for analysis)
 
 Sandbox proxy for the north rule's "N -> 4N executors" (no real cluster
 available): the SAME full dedup pipeline (exact pre-pass -> shingle ->
@@ -87,7 +96,7 @@ action so JVM startup is excluded from throughput.
 Output invariance: both runs produced {r_low['n_assignments']} assignments
 and {r_low['n_pairs']} pairs ({'identical' if r_low['n_pairs'] == r_high['n_pairs'] and r_low['n_assignments'] == r_high['n_assignments'] else 'MISMATCH!'} across parallelism levels).
 """
-    with open(os.path.join(HERE, "BASELINE.md"), "w") as f:
+    with open(os.path.join(HERE, "SCALING_RUN.md"), "w") as f:
         f.write(md)
 
 

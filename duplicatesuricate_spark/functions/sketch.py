@@ -67,19 +67,28 @@ def _sketch_batch(
         else:
             flat[s] = np.uint64(0)
 
-    # --- MinHash: per-perm multiply-shift, segmented min ---
+    # --- MinHash: per-perm multiply-shift, segmented min.  In-place ops on
+    # one reused buffer: allocation churn (not CPU) is what breaks scaling
+    # when 32 tasks run this concurrently ---
     mins = np.empty((num_perms, n_docs), dtype=np.int32)
+    buf = np.empty_like(flat)
     for p in range(num_perms):
-        hv = (flat * a[p] + b[p]) >> np.uint64(33)
-        mins[p] = np.minimum.reduceat(hv, starts).astype(np.int32)
+        np.multiply(flat, a[p], out=buf)
+        np.add(buf, b[p], out=buf)
+        np.right_shift(buf, np.uint64(33), out=buf)
+        mins[p] = np.minimum.reduceat(buf, starts).astype(np.int32)
     minhash = list(np.ascontiguousarray(mins.T))
 
-    # --- SimHash: segmented sum of bit columns, sign -> bit ---
+    # --- SimHash: per-bit segmented popcount with an O(n) buffer (NEVER
+    # the (n, 64) matrix — that is gigabytes per wide batch) ---
+    ones = np.empty((64, n_docs), dtype=np.int64)
+    for bit in range(64):
+        np.right_shift(flat, np.uint64(bit), out=buf)
+        np.bitwise_and(buf, np.uint64(1), out=buf)
+        ones[bit] = np.add.reduceat(buf.view(np.int64), starts)
+    sig_bits = (2 * ones > safe[None, :]).astype(np.uint64)   # (64, n_docs)
     shifts = np.arange(64, dtype=np.uint64)
-    bits = ((flat[:, None] >> shifts) & np.uint64(1)).astype(np.int32)
-    ones = np.add.reduceat(bits, starts, axis=0)       # (n_docs, 64)
-    sig_bits = (2 * ones > safe[:, None]).astype(np.uint64)
-    simhash = (sig_bits << shifts).sum(axis=1, dtype=np.uint64).view(np.int64)
+    simhash = (sig_bits << shifts[:, None]).sum(axis=0, dtype=np.uint64).view(np.int64)
 
     return pd.DataFrame({"minhash": minhash, "simhash": simhash})
 
@@ -103,6 +112,125 @@ def with_sketches(df: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> DataFrame
         .withColumn("minhash", F.col("_sk.minhash"))
         .withColumn("simhash", F.col("_sk.simhash"))
         .drop("_sk")
+    )
+
+
+# ------------------------------------------------- fused full-sketch path
+
+_FULL_SCHEMA = T.StructType([
+    T.StructField("shingles", T.ArrayType(T.LongType(), False), False),
+    T.StructField("minhash", T.ArrayType(T.IntegerType(), False), False),
+    T.StructField("simhash", T.LongType(), False),
+])
+
+# odd multipliers + finalizer for the vectorized k-gram hash
+_GRAM_C = np.array(
+    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+     0x27D4EB2F165667C5, 0x85EBCA77C2B2AE63],
+    dtype=np.uint64,
+)
+_MIX = np.uint64(0xFF51AFD7ED558CCD)
+
+
+def _gram_hashes(flat: np.ndarray, lens: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized k-gram hashing over a flat token-hash array.
+
+    Computes a combined hash at EVERY position of the flat array with
+    strided adds (no per-gram Python), then masks out windows that cross
+    document boundaries.  Returns (gram_hashes, doc_index_per_gram).
+    """
+    total = len(flat)
+    n_pos = max(total - (k - 1), 0)
+    acc = np.zeros(n_pos, dtype=np.uint64)
+    for j in range(k):
+        acc += flat[j : n_pos + j] * _GRAM_C[j]
+    acc ^= acc >> np.uint64(33)
+    acc *= _MIX
+    acc ^= acc >> np.uint64(29)
+
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    doc_of_pos = np.repeat(np.arange(len(lens)), lens)[:n_pos]
+    # a gram starting at p belongs to doc d iff p+k-1 < start_d + len_d
+    ends = (starts + lens)[doc_of_pos]
+    valid = (np.arange(n_pos) + (k - 1)) < ends
+    return acc[valid], doc_of_pos[valid]
+
+
+def make_full_sketch_udf(cfg: DedupConfig = DEFAULT_CONFIG):
+    """token_hashes array<long> -> struct(shingles, minhash, simhash).
+
+    The ONLY JVM-side text work left is one xxhash64 per token; k-gram
+    hashing, per-doc dedup, MinHash and SimHash all run vectorized in
+    numpy over the whole Arrow batch.  This exists because interpreted
+    higher-order-function evaluation of per-gram expressions is memory-
+    latency-bound and stops scaling past a few cores; the numpy kernel
+    streams linearly.
+    """
+    a, b = _perm_constants(cfg)
+    num_perms, k = cfg.num_perms, cfg.shingle_k
+
+    @pandas_udf(_FULL_SCHEMA)
+    def full_sketch(token_hashes: pd.Series) -> pd.DataFrame:
+        n_docs = len(token_hashes)
+        if n_docs == 0:
+            return pd.DataFrame({"shingles": [], "minhash": [], "simhash": []})
+        lens = token_hashes.map(len).to_numpy(dtype=np.int64)
+        flat = np.empty(int(lens.sum()), dtype=np.uint64)
+        pos = 0
+        for lst in token_hashes:
+            m = len(lst)
+            if m:
+                flat[pos : pos + m] = np.asarray(lst, dtype=np.int64).view(np.uint64)
+            pos += m
+
+        grams, doc_idx = _gram_hashes(flat, lens, k)
+        # short docs (< k tokens) get one gram over all their tokens
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        shingle_lists: list[np.ndarray] = [None] * n_docs
+        # distinct grams per doc, segment-wise
+        seg_starts = np.searchsorted(doc_idx, np.arange(n_docs))
+        seg_ends = np.searchsorted(doc_idx, np.arange(n_docs), side="right")
+        for d in range(n_docs):
+            if lens[d] >= k:
+                shingle_lists[d] = np.unique(grams[seg_starts[d]:seg_ends[d]])
+            else:
+                toks = flat[starts[d] : starts[d] + lens[d]]
+                acc = np.uint64(0)
+                for j, t in enumerate(toks):
+                    acc += t * _GRAM_C[j % k]
+                acc ^= acc >> np.uint64(33)
+                acc *= _MIX
+                acc ^= acc >> np.uint64(29)
+                shingle_lists[d] = np.array([acc], dtype=np.uint64)
+
+        sk = _sketch_batch(
+            pd.Series([s.view(np.int64) for s in shingle_lists]), a, b, num_perms
+        )
+        return pd.DataFrame({
+            "shingles": [s.view(np.int64) for s in shingle_lists],
+            "minhash": sk["minhash"],
+            "simhash": sk["simhash"],
+        })
+
+    return full_sketch
+
+
+def with_full_sketches(df: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
+                       content_col: str = "content") -> DataFrame:
+    """content -> shingles + minhash + simhash in one Arrow pass (the
+    pipeline's hot path).  SQL side only lowercases, splits and hashes
+    individual tokens — all linear work."""
+    from duplicatesuricate_spark.functions.text import tokens_expr
+
+    th = F.transform(tokens_expr(content_col, cfg), lambda t: F.xxhash64(t))
+    out = make_full_sketch_udf(cfg)(F.col("__th"))
+    return (
+        df.withColumn("__th", th)
+        .withColumn("_sk", out)
+        .withColumn("shingles", F.col("_sk.shingles"))
+        .withColumn("minhash", F.col("_sk.minhash"))
+        .withColumn("simhash", F.col("_sk.simhash"))
+        .drop("_sk", "__th")
     )
 
 

@@ -25,14 +25,13 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from duplicatesuricate_spark.config import DedupConfig, DEFAULT_CONFIG
-from duplicatesuricate_spark.functions.text import with_shingles
-from duplicatesuricate_spark.functions.sketch import with_sketches
+from duplicatesuricate_spark.functions.sketch import with_full_sketches
 from duplicatesuricate_spark.operators.lsh import (
     band_explode,
     candidate_pairs,
     simhash_block_explode,
 )
-from duplicatesuricate_spark.operators.score import score_pairs, filter_dup_pairs
+from duplicatesuricate_spark.operators.score import score_and_verify
 from duplicatesuricate_spark.operators.substring import exact_substring_pairs
 from duplicatesuricate_spark.operators.components import (
     connected_components,
@@ -79,7 +78,7 @@ def dedup_pipeline(
     from duplicatesuricate_spark.functions.util import ensure_min_partitions
 
     reps = ensure_min_partitions(reps)
-    sketched = with_sketches(with_shingles(reps, cfg=cfg), cfg=cfg).select(
+    sketched = with_full_sketches(reps, cfg=cfg).select(
         "doc_id", "content_sha256", "shingles", "minhash", "simhash"
     )
     if persist:
@@ -92,8 +91,7 @@ def dedup_pipeline(
         simhash_block_explode(sketched, cfg)
     )
     cands = candidate_pairs(bands, cfg)
-    scored = score_pairs(cands, sketched, cfg)
-    near_pairs = filter_dup_pairs(scored, sketched, cfg).withColumn(
+    near_pairs = score_and_verify(cands, sketched, cfg).withColumn(
         "kind", F.lit("near_dup")
     )
 
@@ -117,7 +115,9 @@ def dedup_pipeline(
     all_pairs = pair_sets[0]
     for p in pair_sets[1:]:
         all_pairs = all_pairs.unionByName(p)
-    # one row per canonical pair; strongest channel wins for reporting
+    # one row per canonical pair; strongest channel wins for reporting.
+    # Persisted: consumed by CC AND returned to the caller — without it the
+    # whole candidate/score/substring DAG re-executes per downstream action.
     all_pairs = (
         all_pairs.groupBy("id_a", "id_b")
         .agg(
@@ -126,6 +126,8 @@ def dedup_pipeline(
             F.min("kind").alias("kind"),
         )
     )
+    if persist:
+        all_pairs = all_pairs.persist()
 
     comps = connected_components(all_pairs)
     assignments = assignments_with_singletons(

@@ -135,6 +135,64 @@ def filter_dup_pairs(
     return verify_pairs_exact(prefilter_pairs(scored, cfg), shingled, cfg)
 
 
+def score_and_verify(
+    pairs: DataFrame,
+    sketched: DataFrame,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """Fused stage-B7: hydrate minhash+simhash+shingles in ONE pass (two
+    joins total instead of four), estimate, prefilter, then decide on exact
+    Jaccard — all inside a single select chain, so Catalyst plans one
+    stage per join instead of re-shuffling the pair table between the
+    estimate and verification steps.  Semantically identical to
+    ``filter_dup_pairs(score_pairs(...), ...)``; preferred in the pipeline
+    because candidate volume is only ~an order above survivor volume,
+    making the extra shingle hydration cheaper than two more shuffles."""
+    slim = sketched.select("doc_id", "minhash", "simhash", "shingles")
+    a = slim.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("minhash").alias("minhash_a"),
+        F.col("simhash").alias("simhash_a"),
+        F.col("shingles").alias("sh_a"),
+    )
+    b = slim.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("minhash").alias("minhash_b"),
+        F.col("simhash").alias("simhash_b"),
+        F.col("shingles").alias("sh_b"),
+    )
+    h = pairs.join(a, "id_a").join(b, "id_b")
+
+    eq_slots = F.aggregate(
+        F.zip_with(
+            "minhash_a", "minhash_b",
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    est = eq_slots.cast("double") / F.lit(float(cfg.num_perms))
+    ham = F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b")))
+    pre = h.select("id_a", "id_b", "sh_a", "sh_b",
+                   est.alias("jaccard_est"), ham.alias("hamming")).where(
+        (F.col("jaccard_est") >= F.lit(cfg.jaccard_threshold - cfg.jaccard_margin))
+        | (F.col("hamming") <= F.lit(cfg.hamming_threshold))
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        pre.withColumn("jaccard", jac)
+        .where(
+            (F.col("jaccard") >= F.lit(cfg.jaccard_threshold))
+            | (F.col("hamming") <= F.lit(cfg.hamming_threshold))
+        )
+        .select("id_a", "id_b", "jaccard", "hamming")
+    )
+
+
 # ----------------------------------------------------------- Arrow variant
 
 

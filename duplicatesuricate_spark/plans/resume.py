@@ -82,8 +82,8 @@ def run_dedup_checkpointed(
         corpus_ids -> reps/exact_edges -> sketches -> candidates ->
         dup_pairs -> all_pairs -> assignments
     """
-    from duplicatesuricate_spark.functions.text import with_shingles
-    from duplicatesuricate_spark.functions.sketch import with_sketches
+    from duplicatesuricate_spark.functions.sketch import with_full_sketches
+    from duplicatesuricate_spark.functions.util import ensure_min_partitions
     from duplicatesuricate_spark.operators.dedup import exact_dup_edges
     from duplicatesuricate_spark.operators.lsh import (
         band_explode, candidate_pairs, simhash_block_explode,
@@ -103,7 +103,7 @@ def run_dedup_checkpointed(
     exact_edges = r.stage("exact_edges", lambda: exact_dup_edges(corpus)[1])
     sketches = r.stage(
         "sketches",
-        lambda: with_sketches(with_shingles(reps, cfg=cfg), cfg=cfg).select(
+        lambda: with_full_sketches(ensure_min_partitions(reps), cfg=cfg).select(
             "doc_id", "shingles", "minhash", "simhash"
         ),
     )

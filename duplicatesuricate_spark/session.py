@@ -27,6 +27,15 @@ def get_spark(
     ``spark-submit --py-files duplicatesuricate_spark.zip`` and drop the
     ``master`` call — every other setting below is cluster-safe.
     """
+    # Large fresh allocations on this class of VM fault pages at ~40MB/s;
+    # glibc returns mmap'd blocks (>128KB) to the OS on free, so every
+    # Arrow/numpy batch refaults its buffers.  Raising the mmap threshold
+    # keeps big blocks on the (reused) heap: one warm-up fault, then full
+    # memory bandwidth.  Must be set before the JVM starts so the Python
+    # worker daemons inherit it.
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
+
     cores_env = os.environ.get("SPARK_GRAFT_CPUS")
     if cores is None and cores_env:
         cores = int(cores_env)
@@ -41,14 +50,41 @@ def get_spark(
         # AQE: runtime re-planning, skew-join splitting, partition coalescing
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # near-dup rows are tiny in bytes but expensive in compute (sketch
+        # UDFs, array intersections): AQE's 1MB minimum partition size
+        # would coalesce post-shuffle stages down to a handful of tasks
+        # and cap parallelism; 64k keeps task counts at cluster width
+        # (irrelevant at real scale where shuffles exceed the floor)
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # runtime broadcast conversion: pair/candidate tables are usually
+        # tiny after filtering even when their pre-shuffle estimates are
+        # not — let AQE switch SMJ -> BHJ on observed sizes
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
         # Arrow transfer for every pandas UDF; bounded batches so a
         # 128-int minhash column times a wide batch can't blow executor mem
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        # near-dup workloads are compute-heavy per byte (shingling, sketch
+        # UDFs): split scans finer than the 128m default or a 150MB corpus
+        # reads as ~3 partitions and serializes the whole first stage
+        .config("spark.sql.files.maxPartitionBytes", "16m")
+        .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "12g"))
+        # pin initial == max heap: this VM services first-touch page faults
+        # at ~40MB/s, globally serialized — a shrinking/regrowing heap
+        # refaults pages mid-job, and worse with more threads.  Committing
+        # once keeps the JVM on warm pages (G1 never shrinks below Xms).
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_DRIVER_JAVA_OPTS", "-Xms12g -XX:+UseParallelGC"),
+        )
+        # propagate the malloc tuning to executor-side Python workers on a
+        # real cluster (local mode inherits the driver env)
+        .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "1073741824")
+        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "-1")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
