@@ -1,0 +1,59 @@
+"""Sinks (reference A2 — which has none: its only output is an in-place
+``gid`` column, duplicatesuricate/merger.py:27).  The engine's outputs are
+tables; these helpers pin the layouts that matter at 10^12-file scale.
+
+  * assignments/pairs written partitioned so downstream consumers prune;
+  * candidate/band intermediates written BUCKETED on their join keys —
+    a later job joining on (band, band_hash) or doc_id reads co-located
+    buckets and skips the shuffle entirely (north rule: "bucketed
+    repartitioning on band-hash keys");
+  * Iceberg path uses ``writeTo`` (snapshot-producing) when a catalog is
+    configured; parquet is the sandbox stand-in.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None,
+                  mode: str = "overwrite") -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int = 64,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist an intermediate (bands, candidate pairs, sketches) bucketed
+    on its join keys.  ``bucketBy`` requires ``saveAsTable`` (a metastore
+    entry) — readers joining on the bucket columns then plan a shuffle-free
+    sort-merge join."""
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(table_name)
+
+
+def write_iceberg(df: DataFrame, table: str, mode: str = "append") -> None:
+    """Snapshot-producing write when an Iceberg catalog is on the session
+    (production path; raises without the catalog jars)."""
+    if mode == "append":
+        df.writeTo(table).append()
+    elif mode == "overwrite":
+        df.writeTo(table).createOrReplace()
+    else:
+        raise ValueError(f"unsupported mode {mode}")
+
+
+def write_dedup_outputs(result, out_dir: str) -> None:
+    """DedupResult -> <out_dir>/{assignments,pairs} parquet."""
+    write_parquet(result.assignments, f"{out_dir}/assignments")
+    write_parquet(result.pairs, f"{out_dir}/pairs")
