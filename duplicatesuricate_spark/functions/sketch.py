@@ -216,22 +216,26 @@ def make_full_sketch_udf(cfg: DedupConfig = DEFAULT_CONFIG):
 
 
 def with_full_sketches(df: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
-                       content_col: str = "content") -> DataFrame:
+                       content_col: str = "content",
+                       keep_token_hashes: bool = False) -> DataFrame:
     """content -> shingles + minhash + simhash in one Arrow pass (the
     pipeline's hot path).  SQL side only lowercases, splits and hashes
-    individual tokens — all linear work."""
+    individual tokens — all linear work.  ``keep_token_hashes`` retains the
+    per-token hash array as ``th`` so downstream passes (exact-substring
+    chunking) never re-tokenize the corpus."""
     from duplicatesuricate_spark.functions.text import tokens_expr
 
     th = F.transform(tokens_expr(content_col, cfg), lambda t: F.xxhash64(t))
-    out = make_full_sketch_udf(cfg)(F.col("__th"))
-    return (
-        df.withColumn("__th", th)
+    out = make_full_sketch_udf(cfg)(F.col("th"))
+    res = (
+        df.withColumn("th", th)
         .withColumn("_sk", out)
         .withColumn("shingles", F.col("_sk.shingles"))
         .withColumn("minhash", F.col("_sk.minhash"))
         .withColumn("simhash", F.col("_sk.simhash"))
-        .drop("_sk", "__th")
+        .drop("_sk")
     )
+    return res if keep_token_hashes else res.drop("th")
 
 
 # ---------------------------------------------------------------- oracles

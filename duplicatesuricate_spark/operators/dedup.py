@@ -78,8 +78,8 @@ def dedup_pipeline(
     from duplicatesuricate_spark.functions.util import ensure_min_partitions
 
     reps = ensure_min_partitions(reps)
-    sketched = with_full_sketches(reps, cfg=cfg).select(
-        "doc_id", "content_sha256", "shingles", "minhash", "simhash"
+    sketched = with_full_sketches(reps, cfg=cfg, keep_token_hashes=True).select(
+        "doc_id", "content_sha256", "th", "shingles", "minhash", "simhash"
     )
     if persist:
         sketched = sketched.persist()
@@ -97,7 +97,9 @@ def dedup_pipeline(
 
     pair_sets = [near_pairs]
     if include_substring_pass:
-        sub = exact_substring_pairs(reps, cfg).select(
+        sub = exact_substring_pairs(
+            reps, cfg, token_hashes=sketched.select("doc_id", "th")
+        ).select(
             "id_a", "id_b",
             F.lit(1.0).alias("jaccard"),
             F.lit(0).alias("hamming"),

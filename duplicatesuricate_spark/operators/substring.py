@@ -45,11 +45,22 @@ from duplicatesuricate_spark.functions.text import tokens_expr
 
 def chunk_hashes(corpus: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> DataFrame:
     """(doc_id, content) -> (doc_id, chunk_hash) distinct, full-window,
-    content-defined anchored chunks."""
+    content-defined anchored chunks.
+
+    Works on per-token xxhash64 values, not strings: the chunk hash is a
+    structural ``xxhash64`` over a slice of the token-hash array — no
+    50-token string concatenation per anchor (interpreted HOF + string
+    building was the pipeline's single most expensive stage before this).
+    """
     w = cfg.substring_window
-    toks = tokens_expr("content", cfg)
-    df = corpus.select("doc_id", toks.alias("toks"))
-    n = F.size("toks")
+    if "th" in corpus.columns:
+        df = corpus.select("doc_id", "th")
+    else:
+        df = corpus.select(
+            "doc_id",
+            F.transform(tokens_expr("content", cfg), lambda t: F.xxhash64(t)).alias("th"),
+        )
+    n = F.size("th")
     # anchor positions: token-hash % mod == 0 AND a full window fits;
     # documents shorter than the window produce no chunks (they are the
     # MinHash path's job, not containment candidates)
@@ -58,13 +69,11 @@ def chunk_hashes(corpus: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> DataFr
         F.filter(
             F.sequence(F.lit(1), n - F.lit(w - 1)),
             lambda i: F.pmod(
-                F.xxhash64(F.element_at("toks", i)), F.lit(cfg.substring_anchor_mod)
+                F.element_at("th", i), F.lit(cfg.substring_anchor_mod)
             ) == 0,
         ),
     ).otherwise(F.array().cast("array<int>"))
-    chunks = F.transform(
-        anchors, lambda i: F.xxhash64(F.concat_ws(" ", F.slice("toks", i, w)))
-    )
+    chunks = F.transform(anchors, lambda i: F.xxhash64(F.slice("th", i, w)))
     return (
         df.select("doc_id", F.explode(F.array_distinct(chunks)).alias("chunk_hash"))
     )
@@ -73,8 +82,12 @@ def chunk_hashes(corpus: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> DataFr
 def substring_candidates(
     corpus: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG
 ) -> DataFrame:
-    """Candidate containment pairs from shared chunk hashes."""
-    ch = chunk_hashes(corpus, cfg)
+    """Candidate containment pairs from shared chunk hashes.
+
+    The chunk table is referenced four times (df-cap count, both join
+    sides, per-doc sizes): materialize it once or token hashing dominates
+    the whole pass."""
+    ch = chunk_hashes(corpus, cfg).localCheckpoint()
     # document-frequency cap on hot chunks (boilerplate)
     df_counts = ch.groupBy("chunk_hash").agg(F.count(F.lit(1)).alias("df"))
     ch = ch.join(
@@ -148,10 +161,15 @@ def verify_containment(
 
 
 def exact_substring_pairs(
-    corpus: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG
+    corpus: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
+    token_hashes: DataFrame | None = None,
 ) -> DataFrame:
-    """Full stage-B9 pass: candidates -> exact verify -> canonical pairs."""
-    verified = verify_containment(substring_candidates(corpus, cfg), corpus, cfg)
+    """Full stage-B9 pass: candidates -> exact verify -> canonical pairs.
+
+    ``token_hashes`` (doc_id, th) — e.g. carried on the persisted sketch
+    table — lets the pass skip re-tokenizing the corpus."""
+    cand_src = token_hashes if token_hashes is not None else corpus
+    verified = verify_containment(substring_candidates(cand_src, cfg), corpus, cfg)
     return verified.select(
         F.least("id_a", "id_b").alias("id_a"),
         F.greatest("id_a", "id_b").alias("id_b"),
