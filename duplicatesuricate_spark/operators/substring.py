@@ -79,6 +79,21 @@ def chunk_hashes(corpus: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> DataFr
     )
 
 
+def chunk_df_stats(corpus: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> DataFrame:
+    """Observability for the document-frequency cap (SURVEY.md §7 risk:
+    'log what was dropped'): one row —
+    (n_chunk_rows, n_distinct_chunks, n_hot_chunks, n_rows_dropped)."""
+    ch = chunk_hashes(corpus, cfg)
+    counts = ch.groupBy("chunk_hash").agg(F.count(F.lit(1)).alias("df"))
+    hot = F.col("df") > cfg.hot_band_cap
+    return counts.agg(
+        F.sum("df").alias("n_chunk_rows"),
+        F.count(F.lit(1)).alias("n_distinct_chunks"),
+        F.sum(F.when(hot, 1).otherwise(0)).alias("n_hot_chunks"),
+        F.sum(F.when(hot, F.col("df")).otherwise(0)).alias("n_rows_dropped"),
+    )
+
+
 def substring_candidates(
     corpus: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG
 ) -> DataFrame:
