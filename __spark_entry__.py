@@ -223,14 +223,30 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup embedding pairs with planted exact copies (round-1 fix: the
+    raw table is random vectors — max pairwise cosine ~0.51 — so threshold
+    0.9 was vacuous).  Five exact copies are planted query-side; identical
+    vectors share every LSH bucket in every table, so the approximate join
+    recovers the full >= 0.9 pair set exactly and the query is
+    oracle-checkable against DuckDB's brute-force threshold join."""
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    planted = e.where(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"), "embedding"
+    )
     return embedding_near_dup_pairs(
-        _emb(spark, sf_dir), threshold=0.9, n_planes=8, dim=64
+        e.unionByName(planted), threshold=0.9, n_planes=8, dim=64
     )
 
 
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing over real bytes: documents' text as binary
-    payloads -> Arrow feature extraction (deterministic fake codec)."""
+    payloads -> Arrow feature extraction (deterministic fake codec).
+
+    The feature vector is exploded to one scalar row per element so every
+    output column is hashable by the driver's canonicalizer (round-1 fix)
+    AND the whole decode path is oracle-checkable: the fake codec is
+    sha256 -> little-endian uint32 words -> float32 in [0, 1), which DuckDB
+    reproduces from ``sha256(text)`` hex (see oracle_sql)."""
     from duplicatesuricate_spark.operators.multimodal import extract_features
 
     media = _docs(spark, sf_dir).select(
@@ -241,7 +257,19 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("struct<width:int,height:int,sample_rate:int,n_frames:int>")
         .alias("meta"),
     )
-    return extract_features(media)
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        "payload_sha256",
+        F.posexplode("feature").alias("pos", "fval_raw"),
+    ).select(
+        "media_id",
+        "kind",
+        "payload_sha256",
+        "pos",
+        F.round(F.col("fval_raw").cast("double"), 6).alias("fval"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -444,6 +472,43 @@ def oracle_sql() -> dict[str, str]:
             select a.doc_id as id_a, b.doc_id as id_b
             from documents a join documents b on a.source = b.source
             where a.doc_id < b.doc_id
+        """,
+        "embedding_near_dup": """
+            with e0 as (select vec_id, embedding from embeddings),
+            planted as (select vec_id + 10000000 as vec_id, embedding
+                        from embeddings where vec_id < 5),
+            e as (select vec_id, embedding::DOUBLE[] as v from e0
+                  union all
+                  select vec_id, embedding::DOUBLE[] as v from planted),
+            s as (
+              select a.vec_id as id_a, b.vec_id as id_b,
+                     round(
+                       list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]))
+                       / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
+                          * sqrt(list_sum(list_transform(b.v, x -> x*x)))), 6)
+                         as cosine
+              from e a join e b on a.vec_id < b.vec_id
+            )
+            select id_a, id_b, cosine from s where cosine >= 0.9
+        """,
+        "multimodal_features": """
+            with t as (select doc_id as media_id, 'image' as kind,
+                              sha256(text) as h
+                       from documents),
+            u as (
+              select media_id, kind, h,
+                [ list_sum([
+                    ((strpos('0123456789abcdef', substr(h, 2*(4*w+j)+1, 1)) - 1) * 16
+                     + (strpos('0123456789abcdef', substr(h, 2*(4*w+j)+2, 1)) - 1)
+                    ) * (256**j)
+                    for j in [0,1,2,3]])
+                  for w in [0,1,2,3,4,5,6,7] ] as words
+              from t
+            )
+            select media_id, kind, h as payload_sha256, (r.pos)::INT as pos,
+                   round(((words[(r.pos % 8) + 1] / 4294967296.0)::FLOAT)::DOUBLE, 6)
+                       as fval
+            from u cross join range(0, 16) r(pos)
         """,
         "ann_cosine_topk": """
             with p as (select vec_id as probe_id, embedding as pv

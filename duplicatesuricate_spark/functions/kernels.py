@@ -105,19 +105,40 @@ def acronym_score(a: Column | str, b: Column | str) -> Column:
     )
 
 
-#: suffix convention from the reference's ScoreDict DSL (utils.py:266-269)
+#: suffix convention from the reference's ScoreDict DSL (utils.py:266-269).
+#: ``fuzzy_exact``/``token_exact`` are the opt-in Arrow pandas-UDF kernels
+#: with bit-for-bit fuzzywuzzy parity (functions/fuzzy_parity.py) — they
+#: emit the SAME column suffixes as their Column-expression counterparts so
+#: a reference user's tuned thresholds carry over unchanged.
 SCORE_SUFFIX = {
     "exact": "_exactscore",
     "fuzzy": "_fuzzyscore",
     "token": "_tokenscore",
     "acronym": "_acronymscore",
+    "fuzzy_exact": "_fuzzyscore",
+    "token_exact": "_tokenscore",
 }
+
+
+def _fuzzy_exact(a, b):
+    from duplicatesuricate_spark.functions.fuzzy_parity import fuzzy_exact
+
+    return fuzzy_exact(a, b)
+
+
+def _token_exact(a, b):
+    from duplicatesuricate_spark.functions.fuzzy_parity import token_set_exact
+
+    return token_set_exact(a, b)
+
 
 _KERNELS = {
     "exact": exact_score,
     "fuzzy": fuzzy_score,
     "token": token_score,
     "acronym": acronym_score,
+    "fuzzy_exact": _fuzzy_exact,
+    "token_exact": _token_exact,
 }
 
 

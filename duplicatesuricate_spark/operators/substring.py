@@ -102,7 +102,12 @@ def substring_candidates(
     The chunk table is referenced four times (df-cap count, both join
     sides, per-doc sizes): materialize it once or token hashing dominates
     the whole pass."""
-    ch = chunk_hashes(corpus, cfg).localCheckpoint()
+    # persist(DISK_ONLY), not localCheckpoint: survives executor loss on a
+    # real cluster (partitions recompute from lineage; localCheckpoint
+    # blocks do not — round-1 verdict item 8)
+    from pyspark import StorageLevel
+
+    ch = chunk_hashes(corpus, cfg).persist(StorageLevel.DISK_ONLY)
     # document-frequency cap on hot chunks (boilerplate)
     df_counts = ch.groupBy("chunk_hash").agg(F.count(F.lit(1)).alias("df"))
     ch = ch.join(
@@ -164,8 +169,11 @@ def verify_containment(
             return " ".join(t for t in splitter.split(s.lower()) if t)
 
         for pdf in batches:
-            na = pdf["content_a"].map(norm)
-            nb = pdf["content_b"].map(norm)
+            # space sentinels on both sides force whole-token alignment:
+            # without them 'bc def' would match inside 'abc def'
+            # (round-1 advice fix)
+            na = pdf["content_a"].map(lambda s: " " + norm(s) + " ")
+            nb = pdf["content_b"].map(lambda s: " " + norm(s) + " ")
             keep = [
                 (sa in sb) if len(sa) <= len(sb) else (sb in sa)
                 for sa, sb in zip(na, nb)

@@ -172,9 +172,14 @@ def ngram_jaccard_pairs(
             lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
         ),
     ).otherwise(F.array(F.md5(F.concat_ws(" ", toks))))
+    # persist(DISK_ONLY), not localCheckpoint: localCheckpoint blocks are
+    # lost on executor failure mid-job on a real cluster, while persisted
+    # partitions recompute from lineage (round-1 verdict item 8)
+    from pyspark import StorageLevel
+
     g = t.select(
         "doc_id", F.explode(F.array_distinct(grams)).alias("gram")
-    ).localCheckpoint()
+    ).persist(StorageLevel.DISK_ONLY)
     if max_df > 0:
         keep = (
             g.groupBy("gram")

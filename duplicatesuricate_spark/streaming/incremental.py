@@ -25,8 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from duplicatesuricate_spark.config import DedupConfig, DEFAULT_CONFIG
-from duplicatesuricate_spark.functions.text import with_shingles
-from duplicatesuricate_spark.functions.sketch import with_sketches
+from duplicatesuricate_spark.functions.sketch import with_full_sketches
 from duplicatesuricate_spark.operators.lsh import (
     band_explode,
     candidate_pairs,
@@ -89,11 +88,14 @@ def incremental_dedup(
     old_sk = state.sketches()
     old_assign = state.assignments()
 
-    # delta: docs not yet processed (checkpoint-resume semantics)
+    # delta: docs not yet processed (checkpoint-resume semantics).
+    # MUST use the SAME fused sketch kernel as the batch pipeline
+    # (with_full_sketches): the batch path's shingle hashes are multiply-mix
+    # over per-token xxhash64 values, so sketching fresh docs any other way
+    # would put state and delta in incompatible shingle universes (~0
+    # Jaccard across the boundary — round-1 advice fix).
     fresh = new_corpus.join(old_sk.select("doc_id"), "doc_id", "left_anti")
-    fresh_sk = with_sketches(with_shingles(fresh, cfg=cfg), cfg=cfg).select(
-        *_SKETCH_COLS
-    )
+    fresh_sk = with_full_sketches(fresh, cfg=cfg).select(*_SKETCH_COLS)
     all_sk = old_sk.unionByName(fresh_sk).persist()
 
     # candidate pairs touching at least one fresh doc: band the UNION but
