@@ -77,9 +77,17 @@ def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
+    """Exact-dup groups with planted byte-identical copies (round-1 fix:
+    the raw documents table has no exact text dups at any sf, so the query
+    was vacuously green at 0 == 0; three planted copies give the
+    rows/schema/hash check teeth)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = d.where(F.col("doc_id") < 3).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text"
+    )
     return (
-        d.groupBy("text")
+        d.unionByName(planted)
+        .groupBy("text")
         .agg(F.min("doc_id").alias("rep_id"), F.count(F.lit(1)).alias("n_copies"))
         .where(F.col("n_copies") > 1)
         .select("rep_id", "n_copies")
@@ -329,8 +337,14 @@ def oracle_sql() -> dict[str, str]:
             from documents
         """,
         "dup_groups": """
+            with u as (
+              select doc_id, text from documents
+              union all
+              select doc_id + 10000000 as doc_id, text
+              from documents where doc_id < 3
+            )
             select min(doc_id) as rep_id, count(*) as n_copies
-            from documents group by text having count(*) > 1
+            from u group by text having count(*) > 1
         """,
         "token_counts": """
             select doc_id,

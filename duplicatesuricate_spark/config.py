@@ -52,9 +52,10 @@ class DedupConfig:
     # (more pairs verified), never precision.
     jaccard_margin: float = 0.10
     # Secondary channel: accept when SimHash Hamming distance <= this.
-    # Candidate generation for this channel is pigeonhole-complete (see
-    # lsh.simhash_block_pairs): 4 blocks of 16 bits catch EVERY pair with
-    # hamming <= 3.
+    # Candidate generation joins on 2-block-concatenation keys (C(4,2)=6
+    # tables of 32-bit keys, lsh.simhash_block_explode): complete for
+    # hamming <= 2, near-complete for 3 (the residue is recovered by the
+    # MinHash banding at the Jaccard such pairs necessarily have).
     hamming_threshold: int = 3
     simhash_blocks: int = 4
 
@@ -65,8 +66,15 @@ class DedupConfig:
     substring_containment: float = 0.8  # fraction of smaller doc's chunks matched
 
     # --- skew handling (stage B6) ---
-    hot_band_cap: int = 64        # bucket size above which we star, not cross
-    salt_buckets: int = 16        # sub-groups for salted hot-bucket stars
+    # bucket size above which pairing switches to salted sub-groups (full
+    # pairing within each ~cap-sized group + star across groups); the salt
+    # count is derived per bucket as ceil(bucket_n / hot_band_cap)
+    hot_band_cap: int = 64
+    # bucket size above which the key is treated as signal-free (chance
+    # collisions — see lsh.candidate_pairs) and only O(n) star edges are
+    # emitted, never cliques
+    mega_band_cap: int = 2048
+    salt_buckets: int = 16        # legacy knob, superseded by dynamic salts
 
     # --- determinism ---
     seed: int = 0x5EED_CA7

@@ -103,12 +103,18 @@ def lsh_topk(
     n_planes: int = 12,
     dim: int = 64,
     seed: int = 1234,
+    multiprobe: bool = False,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: probes only scan their own LSH bucket.  Recall is
-    tunable via n_planes (fewer planes = bigger buckets = higher recall,
-    more compute); multi-probe extensions hang off the same bucket column."""
+    """Approximate top-k: probes only scan their own LSH bucket.
+
+    Recall knobs: ``n_planes`` (fewer planes = bigger buckets = higher
+    recall, more compute) and ``multiprobe`` (Lv et al., VLDB'07: each
+    probe ALSO visits the n_planes Hamming-1 neighbor buckets — one bit of
+    the signature flipped — trading (n_planes+1)x probe fan-out for the
+    recall lost to near-boundary sign flips).  The fan-out lives entirely
+    on the broadcast probe side; the corpus is still scanned once."""
     planes = hyperplanes(dim, n_planes, seed)
     c = with_lsh_bucket(
         corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")),
@@ -118,6 +124,12 @@ def lsh_topk(
         probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")),
         planes, "probe_vec",
     )
+    if multiprobe:
+        neighbors = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)],
+        )
+        p = p.withColumn("bucket", F.explode(neighbors))
     scored = (
         c.join(F.broadcast(p), "bucket")
         .where(F.col("probe_id") != F.col("vec_id"))
@@ -127,6 +139,10 @@ def lsh_topk(
             F.round(cosine_expr(F.col("probe_vec"), F.col("vec")), 6).alias("cosine"),
         )
     )
+    # no dedup needed even with multiprobe: a corpus vector has exactly ONE
+    # bucket and a probe's expanded buckets are distinct values, so each
+    # (probe, vec) pair joins at most once — adding distinct() here would
+    # cost a shuffle for nothing
     w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
@@ -139,7 +155,6 @@ def embedding_near_dup_pairs(
     seed: int = 1234,
     n_tables: int = 4,
     hot_bucket_cap: int = 1024,
-    salt_buckets: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -155,11 +170,15 @@ def embedding_near_dup_pairs(
       * bucket sizes are counted with a window over the SAME (tbl, bucket)
         partitioning the join uses — one exchange, reused;
       * buckets <= ``hot_bucket_cap`` pair fully (C(m,2) via self-join);
-      * hot buckets pair fully only WITHIN salted sub-groups, bounding the
-        largest per-task group at ~bucket_n/salt_buckets.  Cross-salt pairs
-        from a hot bucket are recovered by the other tables (identical
-        vectors share every bucket in every table, so exact-duplicate
-        recall is unaffected by the cap);
+      * hot buckets pair fully only WITHIN ceil(bucket_n / cap) salted
+        sub-groups (~cap vectors each) and emit a two-level star across
+        sub-group minima, so per-bucket cost is O(m * cap) — linear in m.
+        For an m-duplicate mass the output is therefore a CONNECTED SUBSET
+        of the C(m,2) threshold pairs, not all of them — by design: the
+        full pair set of one hot bucket is itself an O(m^2) output bomb at
+        10^11 vectors, and downstream clustering only needs connectivity.
+        Pairs split across salt groups in one table are retried with
+        independent salts in every other table;
       * candidate pairs are distinct'd BEFORE hydrating vectors, so the
         expensive cosine runs once per unique pair.
     """
@@ -184,9 +203,15 @@ def embedding_near_dup_pairs(
         .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
     )
 
+    # salt mixes in the table index so a pair split in one hot bucket is
+    # split independently in the other tables (same rationale as
+    # lsh.candidate_pairs)
     hot = tagged.filter(F.col("bucket_n") > hot_bucket_cap).select(
         "tbl", "bucket", "vec_id",
-        F.pmod(F.xxhash64("vec_id", F.lit(seed)), F.lit(salt_buckets)).alias("salt"),
+        F.pmod(
+            F.xxhash64("vec_id", "tbl", F.lit(seed)),
+            F.ceil(F.col("bucket_n") / F.lit(hot_bucket_cap)).cast("long"),
+        ).alias("salt"),
     )
     pairs_hot = (
         hot.alias("a")
@@ -194,8 +219,24 @@ def embedding_near_dup_pairs(
         .where(F.col("a.vec_id") < F.col("b.vec_id"))
         .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
     )
+    # two-level star over sub-group minima: O(m / cap) edges that keep an
+    # identical-vector mass connected across salt groups (the edges still
+    # pass the cosine threshold below, so dissimilar co-bucketed vectors
+    # are never force-connected)
+    sub_w = Window.partitionBy("tbl", "bucket", "salt")
+    reps = (
+        hot.withColumn("sub_min", F.min("vec_id").over(sub_w))
+        .select("tbl", "bucket", "sub_min")
+        .distinct()
+    )
+    rep_w = Window.partitionBy("tbl", "bucket")
+    star_root = (
+        reps.withColumn("g_min", F.min("sub_min").over(rep_w))
+        .where(F.col("sub_min") != F.col("g_min"))
+        .select(F.col("g_min").alias("id_a"), F.col("sub_min").alias("id_b"))
+    )
 
-    cand = pairs_small.unionByName(pairs_hot).distinct()
+    cand = pairs_small.unionByName(pairs_hot).unionByName(star_root).distinct()
     va = c.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("vec_a"))
     vb = c.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vec_b"))
     return (

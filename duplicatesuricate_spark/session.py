@@ -42,6 +42,14 @@ def get_spark(
     master = f"local[{cores}]" if cores else "local[*]"
     n_shuffle = shuffle_partitions or (cores * 2 if cores else 32)
 
+    # shuffle/spill scratch on tmpfs when available: this sandbox's root
+    # disk is slow and near-full, and tmpfs pages skip writeback entirely
+    # (on a real cluster spark.local.dir is the provisioned local SSDs —
+    # same principle).  Overridable via SPARK_LOCAL_DIRS.
+    local_dir = os.environ.get("SPARK_LOCAL_DIRS")
+    if not local_dir and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
+
     b = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -86,6 +94,8 @@ def get_spark(
         .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "1073741824")
         .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "-1")
     )
+    if local_dir:
+        b = b.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

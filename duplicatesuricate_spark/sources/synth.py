@@ -160,6 +160,53 @@ def synth_corpus(
     return pd.DataFrame(rows), pd.DataFrame(truth)
 
 
+def synth_hot_mixed_corpus(
+    n_per_cluster: int = 6,
+    boiler_lines: int = 45,
+    core_lines: int = 8,
+    seed: int = 4242,
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """TWO distinct near-dup clusters sharing one dominant boilerplate block
+    (round-1 verdict item 4: the mixed-cluster hot-bucket recall trade).
+
+    Every doc = shared boilerplate (~boiler_lines * 8 tokens) + a per-
+    cluster core (~core_lines * 8 tokens) + small per-doc edits, so:
+
+      * within-cluster exact shingle Jaccard ~0.9+  (golden pairs);
+      * cross-cluster Jaccard ~ boiler/(boiler+2*core) ~0.7-0.75 — BELOW
+        the 0.85 acceptance (cross pairs must NOT merge);
+      * the boilerplate dominates the MinHash: many band buckets hold all
+        2*n docs, so with a lowered ``hot_band_cap`` the bucket is hot AND
+        mixed — exactly the scenario where star-only hot handling lost
+        intra-cluster pairs (hub->other-cluster edges die in verify).
+
+    Returns (corpus, truth) in the same shape as :func:`synth_corpus`.
+    """
+    rng = random.Random(seed)
+    boiler = [_line(rng, 8) for _ in range(boiler_lines)]
+    rows: list[dict] = []
+    truth: list[dict] = []
+    for cl in (0, 1):
+        core = [_line(rng, 8) for _ in range(core_lines)]
+        base = boiler + core
+        for i in range(n_per_cluster):
+            lines = list(base) if i == 0 else _near_dup_variant(rng, base)
+            row = {
+                "repo": f"hotmix/repo{cl}",
+                "path": f"src/c{cl}/file{i}.py",
+                "commit": _commit(rng),
+                "lang": "python",
+                "content": "\n".join(lines),
+            }
+            rows.append(row)
+            truth.append({
+                "repo": row["repo"], "path": row["path"],
+                "commit": row["commit"], "cluster": cl,
+                "kind": "base" if i == 0 else "near_dup",
+            })
+    return pd.DataFrame(rows), pd.DataFrame(truth)
+
+
 def planted_truth(truth: pd.DataFrame) -> pd.DataFrame:
     """Expand planted clusters to canonical ground-truth pairs on the
     natural key (repo, path, commit).

@@ -1,0 +1,115 @@
+"""Mixed-cluster hot-bucket recall tests (round-1 verdict item 4).
+
+Two planted near-dup clusters share one dominant boilerplate block, so with
+a lowered ``hot_band_cap`` many band buckets are hot AND hold both clusters
+— the exact scenario where the old star-only hot handling could lose every
+intra-cluster pair from that band (hub -> other-cluster edges fail exact-
+Jaccard verification).  The fix (full pairing within ~cap-sized salted
+sub-groups + band-mixed salts) must keep golden recall at 1.0 while still
+NOT merging the two clusters.
+"""
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from duplicatesuricate_spark.config import DEFAULT_CONFIG
+from duplicatesuricate_spark.functions.sketch import with_full_sketches
+from duplicatesuricate_spark.functions.text import shingles_py
+from duplicatesuricate_spark.operators.components import connected_components
+from duplicatesuricate_spark.operators.dedup import dedup_pipeline
+from duplicatesuricate_spark.operators.lsh import band_explode, candidate_pairs
+from duplicatesuricate_spark.sources.corpus import with_doc_identity
+from duplicatesuricate_spark.sources.synth import synth_hot_mixed_corpus
+
+CFG = DEFAULT_CONFIG.with_(hot_band_cap=4)
+
+
+@pytest.fixture(scope="module")
+def hotmix(spark):
+    pdf, truth = synth_hot_mixed_corpus()
+    corpus = with_doc_identity(spark.createDataFrame(pdf)).persist()
+    key2id = corpus.selectExpr("repo", "path", "commit", "doc_id").toPandas()
+    ids = key2id.set_index(["repo", "path", "commit"]).doc_id
+    doc_cluster = {
+        ids[(r.repo, r.path, r.commit)]: r.cluster for r in truth.itertuples()
+    }
+    sh = {
+        ids[(r.repo, r.path, r.commit)]: shingles_py(r.content)
+        for r in pdf.itertuples()
+    }
+    return pdf, corpus, doc_cluster, sh
+
+
+def test_fixture_plants_a_mixed_hot_bucket(spark, hotmix):
+    """The fixture must actually produce >= 1 band bucket that is over the
+    cap AND spans both clusters — otherwise the e2e test proves nothing.
+    (If a generator change breaks this, retune synth_hot_mixed_corpus.)"""
+    pdf, corpus, doc_cluster, sh = hotmix
+    sk = with_full_sketches(corpus, cfg=CFG)
+    bands = band_explode(sk, CFG).toPandas()
+    bands["cluster"] = bands["doc_id"].map(doc_cluster)
+    g = bands.groupby(["band", "band_hash"]).agg(
+        n=("doc_id", "nunique"), k=("cluster", "nunique")
+    )
+    mixed_hot = g[(g["n"] > CFG.hot_band_cap) & (g["k"] == 2)]
+    assert len(mixed_hot) >= 1, "fixture no longer plants a mixed hot bucket"
+
+
+def test_golden_recall_and_no_cross_merge(spark, hotmix):
+    pdf, corpus, doc_cluster, sh = hotmix
+    res = dedup_pipeline(corpus, CFG)
+    a = res.assignments.toPandas().set_index("doc_id").cluster_id
+
+    golden, forbidden = [], []
+    for x, y in itertools.combinations(sh, 2):
+        j = len(sh[x] & sh[y]) / len(sh[x] | sh[y])
+        if j >= CFG.jaccard_threshold:
+            golden.append((x, y))
+        elif doc_cluster[x] != doc_cluster[y]:
+            forbidden.append((x, y))
+    assert golden, "fixture must plant golden (within-cluster) pairs"
+    assert forbidden, "fixture must keep cross-cluster Jaccard below accept"
+
+    recalled = sum(a[x] == a[y] for x, y in golden)
+    assert recalled / len(golden) >= 0.99, f"recall {recalled}/{len(golden)}"
+    # the two planted clusters must NOT merge through the shared hot bucket
+    cl0 = {a[d] for d, c in doc_cluster.items() if c == 0}
+    cl1 = {a[d] for d, c in doc_cluster.items() if c == 1}
+    assert cl0.isdisjoint(cl1)
+
+
+def test_mixed_hot_bucket_unit_intra_cluster_coverage(spark):
+    """Adversarial unit case: ONE bucket holding two 20-doc clusters, cap 4.
+    After simulating verification (drop every cross-cluster edge), the
+    surviving candidate pairs must still connect most of each cluster —
+    star-only handling left cluster members with no intra-cluster edge at
+    all when the hub landed in the other cluster."""
+    A = list(range(1, 21))
+    B = list(range(101, 121))
+    rows = [(d, 0, 777) for d in A + B]
+    bands = spark.createDataFrame(rows, "doc_id long, band int, band_hash long")
+    cfg = DEFAULT_CONFIG.with_(hot_band_cap=4)
+    pairs = candidate_pairs(bands, cfg).toPandas()
+    n = len(pairs)
+    assert n < len(A + B) * (len(A + B) - 1) / 2 / 2   # far from quadratic
+
+    same = pairs[
+        pairs.apply(lambda r: (r.id_a in A) == (r.id_b in A), axis=1)
+    ]
+    # every intra-cluster candidate survives verify; most docs must have one
+    covered = set(same.id_a) | set(same.id_b)
+    assert len(covered & set(A)) >= len(A) * 0.75
+    assert len(covered & set(B)) >= len(B) * 0.75
+    # and the surviving edges group each cluster into FEWER components
+    # than salt groups (within one band full closure is not the goal —
+    # the other 15 bands re-salt independently and CC closes the rest;
+    # star-only handling left ~every doc of the non-hub cluster isolated)
+    n_salt_groups = (len(A) + len(B)) // cfg.hot_band_cap
+    comps = connected_components(
+        spark.createDataFrame(same[["id_a", "id_b"]], "id_a long, id_b long")
+    ).toPandas()
+    for cluster in (A, B):
+        got = comps[comps.doc_id.isin(cluster)]["cluster_id"].nunique()
+        assert got <= n_salt_groups, f"cluster splintered into {got} components"

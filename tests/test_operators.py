@@ -106,7 +106,8 @@ def test_identical_docs_share_all_bands_and_pair(spark):
 
 
 def test_simhash_block_channel_catches_small_hamming(spark):
-    """Pairs with hamming <= simhash_blocks-1 MUST appear (pigeonhole)."""
+    """Pairs with hamming <= 2 MUST appear (block-pair pigeonhole: >= 2
+    clean blocks -> >= 1 clean block pair)."""
     sk = _sketch_df(spark, [(1, "alpha beta gamma delta epsilon zeta eta theta " * 5),
                             (2, "alpha beta gamma delta epsilon zeta eta theta " * 5)])
     rows = sk.select("simhash").collect()
