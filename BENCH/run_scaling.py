@@ -39,18 +39,35 @@ def prepare_corpus(n_docs: int) -> str:
 def run_worker(cores: int, corpus: str, repeats: int = 2) -> dict:
     """Best of ``repeats`` fresh-JVM runs (GC/page-cache variance on the
     shared sandbox host is large; best-of is the standard throughput
-    protocol and is applied identically to both parallelism levels)."""
+    protocol and is applied identically to both parallelism levels).
+
+    Every completed run is appended to BENCH/data/scaling_runs.jsonl as it
+    finishes (a crashed later worker can't lose earlier measurements), and
+    a failed worker is retried once before giving up."""
     env = dict(os.environ, PYTHONPATH=REPO)
+    log_path = os.path.join(HERE, "data", "scaling_runs.jsonl")
     best = None
-    for _ in range(repeats):
+    done = 0
+    failures = 0
+    while done < repeats:
         out = subprocess.run(
             [sys.executable, os.path.join(HERE, "scaling_worker.py"),
              str(cores), corpus],
-            capture_output=True, text=True, env=env, timeout=3600,
+            capture_output=True, text=True, env=env, timeout=5400,
         )
         if out.returncode != 0:
-            raise RuntimeError(f"worker cores={cores} failed:\n{out.stderr[-3000:]}")
+            failures += 1
+            sys.stderr.write(
+                f"worker cores={cores} attempt failed "
+                f"({failures}):\n{out.stderr[-2000:]}\n"
+            )
+            if failures > repeats:
+                raise RuntimeError(f"worker cores={cores} kept failing")
+            continue
         r = json.loads(out.stdout.strip().splitlines()[-1])
+        with open(log_path, "a") as f:
+            f.write(json.dumps(r) + "\n")
+        done += 1
         if best is None or r["files_per_sec"] > best["files_per_sec"]:
             best = r
     return best

@@ -280,6 +280,27 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling PLAN (multimodal.frame_sample_plan): which
+    frame indexes to decode per video — pure Column math on metadata,
+    fully oracle-checkable.  n_frames is derived deterministically from
+    n_chars so the documents table doubles as a video catalog."""
+    from duplicatesuricate_spark.operators.multimodal import frame_sample_plan
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.pmod(F.col("n_chars"), F.lit(300)).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+    return frame_sample_plan(media, every_n=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dedup": _q_exact_dedup,
@@ -304,6 +325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh,
         "embedding_near_dup": _q_embedding_near_dup,
         "multimodal_features": _q_multimodal_features,
+        "multimodal_frame_plan": _q_multimodal_frame_plan,
     }
 
 
@@ -523,6 +545,14 @@ def oracle_sql() -> dict[str, str]:
                    round(((words[(r.pos % 8) + 1] / 4294967296.0)::FLOAT)::DOUBLE, 6)
                        as fval
             from u cross join range(0, 16) r(pos)
+        """,
+        "multimodal_frame_plan": """
+            with v as (
+              select doc_id as media_id, (n_chars % 300)::INT as n_frames
+              from documents
+            )
+            select media_id, unnest(range(0, n_frames, 10))::INT as frame_index
+            from v where n_frames > 0
         """,
         "ann_cosine_topk": """
             with p as (select vec_id as probe_id, embedding as pv

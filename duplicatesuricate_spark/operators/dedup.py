@@ -82,7 +82,15 @@ def dedup_pipeline(
         "doc_id", "content_sha256", "th", "shingles", "minhash", "simhash"
     )
     if persist:
-        sketched = sketched.persist()
+        # DISK_ONLY, not MEMORY_AND_DISK: the sketch table is the job's
+        # biggest intermediate (token hashes + shingles + minhash per doc);
+        # unrolling it deserialized into the MemoryStore under full task
+        # concurrency destabilizes the heap, while serialized disk blocks
+        # (local dirs are tmpfs/SSD) read back at near-memory speed and
+        # recompute from lineage on executor loss
+        from pyspark import StorageLevel
+
+        sketched = sketched.persist(StorageLevel.DISK_ONLY)
 
     # two candidate channels under ONE banded join: MinHash LSH bands
     # (probabilistic, Jaccard) + SimHash blocks (pigeonhole-complete for
@@ -129,7 +137,9 @@ def dedup_pipeline(
         )
     )
     if persist:
-        all_pairs = all_pairs.persist()
+        from pyspark import StorageLevel
+
+        all_pairs = all_pairs.persist(StorageLevel.DISK_ONLY)
 
     comps = connected_components(all_pairs)
     assignments = assignments_with_singletons(
