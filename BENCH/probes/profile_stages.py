@@ -57,9 +57,11 @@ def main() -> None:
     t0 = time.monotonic()
     reps, exact_edges = exact_dup_edges(corpus)
     reps = ensure_min_partitions(reps)
-    sketched = with_full_sketches(reps, cfg=cfg, keep_token_hashes=True).select(
-        "doc_id", "content_sha256", "th", "shingles", "minhash", "simhash"
-    ).persist()
+    from pyspark import StorageLevel
+
+    sketched = with_full_sketches(reps, cfg=cfg, with_chunks=True).select(
+        "doc_id", "content_sha256", "shingles", "minhash", "simhash", "chunks"
+    ).persist(StorageLevel.DISK_ONLY)
     mark("sketch_persist", sketched.count())
 
     bands = band_explode(sketched, cfg).unionByName(simhash_block_explode(sketched, cfg))
@@ -69,7 +71,9 @@ def main() -> None:
     near = score_and_verify(cands, sketched, cfg).persist()
     mark("score_verify", near.count())
 
-    sub = exact_substring_pairs(reps, cfg, token_hashes=sketched.select("doc_id", "th")).persist()
+    sub = exact_substring_pairs(
+        reps, cfg, chunk_table=sketched.select("doc_id", "chunks")
+    ).persist()
     mark("substring_pass", sub.count())
 
     all_pairs = (

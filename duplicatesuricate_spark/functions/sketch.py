@@ -123,6 +123,11 @@ _FULL_SCHEMA = T.StructType([
     T.StructField("simhash", T.LongType(), False),
 ])
 
+_FULL_SCHEMA_CHUNKS = T.StructType(
+    _FULL_SCHEMA.fields
+    + [T.StructField("chunks", T.ArrayType(T.LongType(), False), False)]
+)
+
 # odd multipliers + finalizer for the vectorized k-gram hash
 _GRAM_C = np.array(
     [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
@@ -156,24 +161,72 @@ def _gram_hashes(flat: np.ndarray, lens: np.ndarray, k: int) -> tuple[np.ndarray
     return acc[valid], doc_of_pos[valid]
 
 
-def make_full_sketch_udf(cfg: DedupConfig = DEFAULT_CONFIG):
-    """token_hashes array<long> -> struct(shingles, minhash, simhash).
+def _chunk_constants(cfg: DedupConfig) -> np.ndarray:
+    """Seeded odd multipliers for the w-token chunk hash (stage B9)."""
+    rng = np.random.RandomState((cfg.seed ^ 0xC4A9C) & 0x7FFFFFFF)
+    lo = rng.randint(0, 1 << 32, size=cfg.substring_window).astype(np.uint64)
+    hi = rng.randint(0, 1 << 32, size=cfg.substring_window).astype(np.uint64)
+    return (((hi << np.uint64(32)) | lo) | np.uint64(1))
+
+
+def _chunk_hashes_np(
+    flat: np.ndarray, lens: np.ndarray, cfg: DedupConfig
+) -> tuple[np.ndarray, np.ndarray]:
+    """Content-defined anchored chunk hashes over the flat token-hash array
+    (the numpy twin of substring.chunk_hashes' SQL form): a chunk starts at
+    every token whose hash %% substring_anchor_mod == 0 and spans
+    ``substring_window`` tokens entirely inside its document.  Returns
+    (chunk_hashes, doc_index_per_chunk)."""
+    w = cfg.substring_window
+    K = _chunk_constants(cfg)
+    total = len(flat)
+    n_pos = max(total - (w - 1), 0)
+    acc = np.zeros(n_pos, dtype=np.uint64)
+    for j in range(w):
+        acc += flat[j : n_pos + j] * K[j]
+    acc ^= acc >> np.uint64(33)
+    acc *= _MIX
+    acc ^= acc >> np.uint64(29)
+
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    doc_of_pos = np.repeat(np.arange(len(lens)), lens)[:n_pos]
+    ends = (starts + lens)[doc_of_pos]
+    anchor = (flat[:n_pos] % np.uint64(cfg.substring_anchor_mod)) == 0
+    valid = anchor & ((np.arange(n_pos) + (w - 1)) < ends)
+    return acc[valid], doc_of_pos[valid]
+
+
+def make_full_sketch_udf(cfg: DedupConfig = DEFAULT_CONFIG, with_chunks: bool = False):
+    """token_hashes array<long> -> struct(shingles, minhash, simhash
+    [, chunks]).
 
     The ONLY JVM-side text work left is one xxhash64 per token; k-gram
-    hashing, per-doc dedup, MinHash and SimHash all run vectorized in
-    numpy over the whole Arrow batch.  This exists because interpreted
+    hashing, per-doc dedup, MinHash, SimHash — and, with ``with_chunks``,
+    the exact-substring pass's anchored chunk hashes — all run vectorized
+    in numpy over the whole Arrow batch.  This exists because interpreted
     higher-order-function evaluation of per-gram expressions is memory-
     latency-bound and stops scaling past a few cores; the numpy kernel
     streams linearly.
+
+    ``with_chunks`` replaces the old ``keep_token_hashes`` design: instead
+    of persisting the full per-token hash array (~8 bytes/token, the
+    sketch table's biggest column) so the substring pass can chunk later,
+    the ~n/anchor_mod chunk hashes are derived HERE, in the same pass —
+    ~16x fewer bytes persisted and shuffled for the same downstream
+    information, paid for with extra (perfectly parallel) vector math.
     """
     a, b = _perm_constants(cfg)
     num_perms, k = cfg.num_perms, cfg.shingle_k
+    schema = _FULL_SCHEMA_CHUNKS if with_chunks else _FULL_SCHEMA
 
-    @pandas_udf(_FULL_SCHEMA)
+    @pandas_udf(schema)
     def full_sketch(token_hashes: pd.Series) -> pd.DataFrame:
         n_docs = len(token_hashes)
         if n_docs == 0:
-            return pd.DataFrame({"shingles": [], "minhash": [], "simhash": []})
+            out = {"shingles": [], "minhash": [], "simhash": []}
+            if with_chunks:
+                out["chunks"] = []
+            return pd.DataFrame(out)
         lens = token_hashes.map(len).to_numpy(dtype=np.int64)
         flat = np.empty(int(lens.sum()), dtype=np.uint64)
         pos = 0
@@ -206,35 +259,49 @@ def make_full_sketch_udf(cfg: DedupConfig = DEFAULT_CONFIG):
         sk = _sketch_batch(
             pd.Series([s.view(np.int64) for s in shingle_lists]), a, b, num_perms
         )
-        return pd.DataFrame({
+        out = {
             "shingles": [s.view(np.int64) for s in shingle_lists],
             "minhash": sk["minhash"],
             "simhash": sk["simhash"],
-        })
+        }
+        if with_chunks:
+            ch, ch_doc = _chunk_hashes_np(flat, lens, cfg)
+            cs = np.searchsorted(ch_doc, np.arange(n_docs))
+            ce = np.searchsorted(ch_doc, np.arange(n_docs), side="right")
+            out["chunks"] = [
+                np.unique(ch[cs[d]:ce[d]]).view(np.int64) for d in range(n_docs)
+            ]
+        return pd.DataFrame(out)
 
     return full_sketch
 
 
 def with_full_sketches(df: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
                        content_col: str = "content",
-                       keep_token_hashes: bool = False) -> DataFrame:
-    """content -> shingles + minhash + simhash in one Arrow pass (the
-    pipeline's hot path).  SQL side only lowercases, splits and hashes
-    individual tokens — all linear work.  ``keep_token_hashes`` retains the
-    per-token hash array as ``th`` so downstream passes (exact-substring
-    chunking) never re-tokenize the corpus."""
+                       keep_token_hashes: bool = False,
+                       with_chunks: bool = False) -> DataFrame:
+    """content -> shingles + minhash + simhash [+ chunks] in one Arrow pass
+    (the pipeline's hot path).  SQL side only lowercases, splits and hashes
+    individual tokens — all linear work.
+
+    ``with_chunks`` adds the exact-substring pass's anchored chunk hashes
+    (stage B9) as a ``chunks array<long>`` column — ~16x fewer bytes than
+    ``keep_token_hashes`` (which retains the full per-token ``th`` array)
+    for the same downstream use; prefer it on the pipeline path."""
     from duplicatesuricate_spark.functions.text import tokens_expr
 
     th = F.transform(tokens_expr(content_col, cfg), lambda t: F.xxhash64(t))
-    out = make_full_sketch_udf(cfg)(F.col("th"))
+    out = make_full_sketch_udf(cfg, with_chunks=with_chunks)(F.col("th"))
     res = (
         df.withColumn("th", th)
         .withColumn("_sk", out)
         .withColumn("shingles", F.col("_sk.shingles"))
         .withColumn("minhash", F.col("_sk.minhash"))
         .withColumn("simhash", F.col("_sk.simhash"))
-        .drop("_sk")
     )
+    if with_chunks:
+        res = res.withColumn("chunks", F.col("_sk.chunks"))
+    res = res.drop("_sk")
     return res if keep_token_hashes else res.drop("th")
 
 

@@ -78,8 +78,15 @@ def dedup_pipeline(
     from duplicatesuricate_spark.functions.util import ensure_min_partitions
 
     reps = ensure_min_partitions(reps)
-    sketched = with_full_sketches(reps, cfg=cfg, keep_token_hashes=True).select(
-        "doc_id", "content_sha256", "th", "shingles", "minhash", "simhash"
+    # chunks (stage B9's anchored chunk hashes, ~n/anchor_mod longs) are
+    # derived inside the same Arrow pass and persisted INSTEAD of the full
+    # per-token hash array (~16x fewer bytes on the table every later
+    # stage reads)
+    sketched = with_full_sketches(
+        reps, cfg=cfg, with_chunks=include_substring_pass
+    ).select(
+        "doc_id", "content_sha256", "shingles", "minhash", "simhash",
+        *(["chunks"] if include_substring_pass else []),
     )
     if persist:
         # DISK_ONLY, not MEMORY_AND_DISK: the sketch table is the job's
@@ -106,7 +113,7 @@ def dedup_pipeline(
     pair_sets = [near_pairs]
     if include_substring_pass:
         sub = exact_substring_pairs(
-            reps, cfg, token_hashes=sketched.select("doc_id", "th")
+            reps, cfg, chunk_table=sketched.select("doc_id", "chunks")
         ).select(
             "id_a", "id_b",
             F.lit(1.0).alias("jaccard"),

@@ -44,15 +44,20 @@ from duplicatesuricate_spark.functions.text import tokens_expr
 
 
 def chunk_hashes(corpus: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> DataFrame:
-    """(doc_id, content) -> (doc_id, chunk_hash) distinct, full-window,
-    content-defined anchored chunks.
+    """(doc_id, content | th | chunks) -> (doc_id, chunk_hash) distinct,
+    full-window, content-defined anchored chunks.
 
-    Works on per-token xxhash64 values, not strings: the chunk hash is a
-    structural ``xxhash64`` over a slice of the token-hash array — no
-    50-token string concatenation per anchor (interpreted HOF + string
-    building was the pipeline's single most expensive stage before this).
+    Three input shapes, cheapest first: a precomputed ``chunks`` column
+    (derived inside the fused Arrow sketch kernel — the pipeline path;
+    ~16x fewer persisted bytes than token hashes), a per-token hash array
+    ``th``, or raw ``content`` (tokenized here).  The th/content forms hash
+    chunks with ``xxhash64`` over token-hash slices — no 50-token string
+    concatenation per anchor (interpreted HOF + string building was the
+    pipeline's single most expensive stage before this).
     """
     w = cfg.substring_window
+    if "chunks" in corpus.columns:
+        return corpus.select("doc_id", F.explode("chunks").alias("chunk_hash"))
     if "th" in corpus.columns:
         df = corpus.select("doc_id", "th")
     else:
@@ -186,12 +191,19 @@ def verify_containment(
 def exact_substring_pairs(
     corpus: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
     token_hashes: DataFrame | None = None,
+    chunk_table: DataFrame | None = None,
 ) -> DataFrame:
     """Full stage-B9 pass: candidates -> exact verify -> canonical pairs.
 
-    ``token_hashes`` (doc_id, th) — e.g. carried on the persisted sketch
-    table — lets the pass skip re-tokenizing the corpus."""
-    cand_src = token_hashes if token_hashes is not None else corpus
+    ``chunk_table`` (doc_id, chunks) — the anchored chunk hashes computed
+    inside the fused sketch kernel and carried on the persisted sketch
+    table — lets the pass skip re-tokenizing AND re-chunking the corpus.
+    ``token_hashes`` (doc_id, th) is the heavier legacy carry."""
+    cand_src = (
+        chunk_table if chunk_table is not None
+        else token_hashes if token_hashes is not None
+        else corpus
+    )
     verified = verify_containment(substring_candidates(cand_src, cfg), corpus, cfg)
     return verified.select(
         F.least("id_a", "id_b").alias("id_a"),
