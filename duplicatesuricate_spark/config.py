@@ -76,6 +76,15 @@ class DedupConfig:
     mega_band_cap: int = 2048
     salt_buckets: int = 16        # legacy knob, superseded by dynamic salts
 
+    # --- execution strategy ---
+    # tokenize inside the Arrow kernel (vectorized char-level numpy over
+    # warm buffers) instead of JVM codegen split(lower(...)): measured on
+    # allocation-constrained hosts the JVM string path stops scaling past
+    # ~2 cores (BENCH/BASELINE.md round-2 controls).  Token-hash universes
+    # differ between the two modes; both are internally consistent and the
+    # planted-truth oracles are hash-agnostic.
+    kernel_tokenize: bool = True
+
     # --- determinism ---
     seed: int = 0x5EED_CA7
 

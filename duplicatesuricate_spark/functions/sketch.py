@@ -196,6 +196,111 @@ def _chunk_hashes_np(
     return acc[valid], doc_of_pos[valid]
 
 
+# ------------------------- vectorized char-level tokenizer (numpy, warm)
+
+# ascii lowercase + token-alphabet classification in one 256-entry table:
+# value = lowercased byte for [A-Za-z0-9_], 0 for every separator byte
+# (UTF-8 continuation/lead bytes >= 0x80 are separators, consistent with
+# the JVM tokenizer where every non-[a-z0-9_] codepoint splits; the only
+# divergence is exotic uppercase codepoints whose lowercase maps into
+# ascii, e.g. U+212A KELVIN SIGN -> 'k' — acceptable: fixtures and source
+# code are ascii, and the hash universe is internal to the engine)
+_TOK_TABLE = np.zeros(256, dtype=np.uint8)
+for _c in range(ord("a"), ord("z") + 1):
+    _TOK_TABLE[_c] = _c
+    _TOK_TABLE[_c - 32] = _c          # A-Z -> a-z
+for _c in range(ord("0"), ord("9") + 1):
+    _TOK_TABLE[_c] = _c
+_TOK_TABLE[ord("_")] = ord("_")
+
+_MAX_TOK_PASSES = 64  # chars hashed positionally; longer tokens also mix
+                      # total length + final char (see below)
+
+
+def _char_constants() -> np.ndarray:
+    rng = np.random.RandomState(0x70CEA5)
+    lo = rng.randint(0, 1 << 32, size=_MAX_TOK_PASSES).astype(np.uint64)
+    hi = rng.randint(0, 1 << 32, size=_MAX_TOK_PASSES).astype(np.uint64)
+    return (((hi << np.uint64(32)) | lo) | np.uint64(1))
+
+
+_CHAR_K = _char_constants()
+_LEN_K = np.uint64(0x9E3779B97F4A7C15)
+_TAIL_K = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _tokenize_hash_np(contents: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """Batch string Series -> (flat token hashes, tokens-per-doc lens).
+
+    Everything is vectorized over the batch's concatenated bytes: one
+    lookup classifies+lowercases, boundary masks delimit tokens, and the
+    token hash is a seeded positional mix folded in <= max-token-length
+    strided passes (each pass touches only tokens long enough).  Zero
+    per-token Python; buffers come from the (pinned) warm heap.  This
+    replaces JVM-side ``split(lower(content))`` + per-token xxhash64 —
+    measured on this host, that allocation-heavy codegen path gets SLOWER
+    with more cores (BENCH/BASELINE.md round-2 controls), while this path
+    is register/bandwidth-bound numpy.
+    """
+    n_docs = len(contents)
+    encoded = [s.encode("utf-8", "surrogatepass") for s in contents]
+    doc_blens = np.fromiter((len(e) for e in encoded), dtype=np.int64,
+                            count=n_docs)
+    buf = np.frombuffer(b"\x00".join(encoded) + b"\x00", dtype=np.uint8)
+    # doc separator \x00 is a separator byte, so tokens never cross docs
+    low = _TOK_TABLE[buf]
+    is_tok = low != 0
+    prev = np.empty_like(is_tok)
+    prev[0] = False
+    prev[1:] = is_tok[:-1]
+    starts_mask = is_tok & ~prev
+    tok_starts = np.flatnonzero(starts_mask)
+    n_toks = len(tok_starts)
+    if n_toks == 0:
+        return np.empty(0, dtype=np.uint64), np.zeros(n_docs, dtype=np.int64)
+    ends_mask = is_tok & ~np.concatenate((is_tok[1:], [False]))
+    tok_ends = np.flatnonzero(ends_mask) + 1
+    tok_lens = tok_ends - tok_starts
+
+    h = np.zeros(n_toks, dtype=np.uint64)
+    max_len = int(tok_lens.max())
+    low64 = low.astype(np.uint64)
+    for j in range(min(max_len, _MAX_TOK_PASSES)):
+        alive = tok_lens > j
+        h[alive] += low64[tok_starts[alive] + j] * _CHAR_K[j]
+    h += tok_lens.view(np.uint64) * _LEN_K
+    h += low64[tok_ends - 1] * _TAIL_K
+    h ^= h >> np.uint64(33)
+    h *= _MIX
+    h ^= h >> np.uint64(29)
+
+    # tokens per doc: bucket token starts by doc via the byte offsets
+    doc_ends = np.cumsum(doc_blens + 1)
+    doc_of_tok = np.searchsorted(doc_ends, tok_starts, side="right")
+    lens = np.bincount(doc_of_tok, minlength=n_docs).astype(np.int64)
+    return h, lens
+
+
+def tokenize_hash_py(content: str) -> list[int]:
+    """Pure-Python oracle for the vectorized tokenizer (tests only)."""
+    import re
+
+    toks = [t for t in re.split(r"[^a-z0-9_]+", content.lower()) if t]
+    out = []
+    for t in toks:
+        bs = t.encode()
+        h = 0
+        for j, c in enumerate(bs[:_MAX_TOK_PASSES]):
+            h = (h + c * int(_CHAR_K[j])) & 0xFFFFFFFFFFFFFFFF
+        h = (h + len(bs) * int(_LEN_K)) & 0xFFFFFFFFFFFFFFFF
+        h = (h + bs[-1] * int(_TAIL_K)) & 0xFFFFFFFFFFFFFFFF
+        h ^= h >> 33
+        h = (h * int(_MIX)) & 0xFFFFFFFFFFFFFFFF
+        h ^= h >> 29
+        out.append(h)
+    return out
+
+
 def make_full_sketch_udf(cfg: DedupConfig = DEFAULT_CONFIG, with_chunks: bool = False):
     """token_hashes array<long> -> struct(shingles, minhash, simhash
     [, chunks]).
@@ -216,17 +321,13 @@ def make_full_sketch_udf(cfg: DedupConfig = DEFAULT_CONFIG, with_chunks: bool = 
     information, paid for with extra (perfectly parallel) vector math.
     """
     a, b = _perm_constants(cfg)
-    num_perms, k = cfg.num_perms, cfg.shingle_k
     schema = _FULL_SCHEMA_CHUNKS if with_chunks else _FULL_SCHEMA
 
     @pandas_udf(schema)
     def full_sketch(token_hashes: pd.Series) -> pd.DataFrame:
         n_docs = len(token_hashes)
         if n_docs == 0:
-            out = {"shingles": [], "minhash": [], "simhash": []}
-            if with_chunks:
-                out["chunks"] = []
-            return pd.DataFrame(out)
+            return _empty_sketch_frame(with_chunks)
         lens = token_hashes.map(len).to_numpy(dtype=np.int64)
         flat = np.empty(int(lens.sum()), dtype=np.uint64)
         pos = 0
@@ -235,54 +336,100 @@ def make_full_sketch_udf(cfg: DedupConfig = DEFAULT_CONFIG, with_chunks: bool = 
             if m:
                 flat[pos : pos + m] = np.asarray(lst, dtype=np.int64).view(np.uint64)
             pos += m
-
-        grams, doc_idx = _gram_hashes(flat, lens, k)
-        # short docs (< k tokens) get one gram over all their tokens
-        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
-        shingle_lists: list[np.ndarray] = [None] * n_docs
-        # distinct grams per doc, segment-wise
-        seg_starts = np.searchsorted(doc_idx, np.arange(n_docs))
-        seg_ends = np.searchsorted(doc_idx, np.arange(n_docs), side="right")
-        for d in range(n_docs):
-            if lens[d] >= k:
-                shingle_lists[d] = np.unique(grams[seg_starts[d]:seg_ends[d]])
-            else:
-                toks = flat[starts[d] : starts[d] + lens[d]]
-                acc = np.uint64(0)
-                for j, t in enumerate(toks):
-                    acc += t * _GRAM_C[j % k]
-                acc ^= acc >> np.uint64(33)
-                acc *= _MIX
-                acc ^= acc >> np.uint64(29)
-                shingle_lists[d] = np.array([acc], dtype=np.uint64)
-
-        sk = _sketch_batch(
-            pd.Series([s.view(np.int64) for s in shingle_lists]), a, b, num_perms
-        )
-        out = {
-            "shingles": [s.view(np.int64) for s in shingle_lists],
-            "minhash": sk["minhash"],
-            "simhash": sk["simhash"],
-        }
-        if with_chunks:
-            ch, ch_doc = _chunk_hashes_np(flat, lens, cfg)
-            cs = np.searchsorted(ch_doc, np.arange(n_docs))
-            ce = np.searchsorted(ch_doc, np.arange(n_docs), side="right")
-            out["chunks"] = [
-                np.unique(ch[cs[d]:ce[d]]).view(np.int64) for d in range(n_docs)
-            ]
-        return pd.DataFrame(out)
+        return _sketch_from_flat(flat, lens, cfg, a, b, with_chunks)
 
     return full_sketch
+
+
+def make_content_sketch_udf(cfg: DedupConfig = DEFAULT_CONFIG,
+                            with_chunks: bool = False):
+    """content string -> struct(shingles, minhash, simhash [, chunks]) —
+    the fully-fused form: tokenization, token hashing, k-gram shingles,
+    MinHash, SimHash and substring chunks ALL inside one vectorized numpy
+    pass over the Arrow batch.  The JVM side ships raw content bytes and
+    nothing else (see _tokenize_hash_np for why this beats codegen
+    ``split(lower(...))`` on allocation-constrained hosts)."""
+    a, b = _perm_constants(cfg)
+    schema = _FULL_SCHEMA_CHUNKS if with_chunks else _FULL_SCHEMA
+
+    @pandas_udf(schema)
+    def content_sketch(contents: pd.Series) -> pd.DataFrame:
+        if len(contents) == 0:
+            return _empty_sketch_frame(with_chunks)
+        flat, lens = _tokenize_hash_np(contents)
+        return _sketch_from_flat(flat, lens, cfg, a, b, with_chunks)
+
+    return content_sketch
+
+
+def _empty_sketch_frame(with_chunks: bool) -> pd.DataFrame:
+    out = {"shingles": [], "minhash": [], "simhash": []}
+    if with_chunks:
+        out["chunks"] = []
+    return pd.DataFrame(out)
+
+
+def _sketch_from_flat(
+    flat: np.ndarray, lens: np.ndarray, cfg: DedupConfig,
+    a: np.ndarray, b: np.ndarray, with_chunks: bool,
+) -> pd.DataFrame:
+    """Shared kernel body: flat token-hash array + per-doc lens ->
+    shingles / minhash / simhash [/ chunks] columns."""
+    n_docs = len(lens)
+    num_perms, k = cfg.num_perms, cfg.shingle_k
+    grams, doc_idx = _gram_hashes(flat, lens, k)
+    # short docs (< k tokens) get one gram over all their tokens
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    shingle_lists: list[np.ndarray] = [None] * n_docs
+    # distinct grams per doc, segment-wise
+    seg_starts = np.searchsorted(doc_idx, np.arange(n_docs))
+    seg_ends = np.searchsorted(doc_idx, np.arange(n_docs), side="right")
+    for d in range(n_docs):
+        if lens[d] >= k:
+            shingle_lists[d] = np.unique(grams[seg_starts[d]:seg_ends[d]])
+        else:
+            toks = flat[starts[d] : starts[d] + lens[d]]
+            acc = np.uint64(0)
+            for j, t in enumerate(toks):
+                acc += t * _GRAM_C[j % k]
+            acc ^= acc >> np.uint64(33)
+            acc *= _MIX
+            acc ^= acc >> np.uint64(29)
+            shingle_lists[d] = np.array([acc], dtype=np.uint64)
+
+    sk = _sketch_batch(
+        pd.Series([s.view(np.int64) for s in shingle_lists]), a, b, num_perms
+    )
+    out = {
+        "shingles": [s.view(np.int64) for s in shingle_lists],
+        "minhash": sk["minhash"],
+        "simhash": sk["simhash"],
+    }
+    if with_chunks:
+        ch, ch_doc = _chunk_hashes_np(flat, lens, cfg)
+        cs = np.searchsorted(ch_doc, np.arange(n_docs))
+        ce = np.searchsorted(ch_doc, np.arange(n_docs), side="right")
+        out["chunks"] = [
+            np.unique(ch[cs[d]:ce[d]]).view(np.int64) for d in range(n_docs)
+        ]
+    return pd.DataFrame(out)
 
 
 def with_full_sketches(df: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
                        content_col: str = "content",
                        keep_token_hashes: bool = False,
-                       with_chunks: bool = False) -> DataFrame:
+                       with_chunks: bool = False,
+                       kernel_tokenize: bool | None = None) -> DataFrame:
     """content -> shingles + minhash + simhash [+ chunks] in one Arrow pass
-    (the pipeline's hot path).  SQL side only lowercases, splits and hashes
-    individual tokens — all linear work.
+    (the pipeline's hot path).
+
+    ``kernel_tokenize`` (default: cfg.kernel_tokenize) moves tokenization
+    itself into the numpy kernel — the JVM ships raw content and nothing
+    else.  Measured on this class of host, codegen ``split(lower(...))``
+    is allocation-bound and stops scaling past ~2 cores while the
+    vectorized char path stays register/bandwidth-bound
+    (BENCH/BASELINE.md).  The JVM form is kept for ``keep_token_hashes``
+    consumers and as the cross-engine-readable reference semantics.
 
     ``with_chunks`` adds the exact-substring pass's anchored chunk hashes
     (stage B9) as a ``chunks array<long>`` column — ~16x fewer bytes than
@@ -290,19 +437,28 @@ def with_full_sketches(df: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
     for the same downstream use; prefer it on the pipeline path."""
     from duplicatesuricate_spark.functions.text import tokens_expr
 
-    th = F.transform(tokens_expr(content_col, cfg), lambda t: F.xxhash64(t))
-    out = make_full_sketch_udf(cfg, with_chunks=with_chunks)(F.col("th"))
+    if kernel_tokenize is None:
+        kernel_tokenize = getattr(cfg, "kernel_tokenize", False)
+    if kernel_tokenize and not keep_token_hashes:
+        out = make_content_sketch_udf(cfg, with_chunks=with_chunks)(
+            F.col(content_col)
+        )
+        res = df.withColumn("_sk", out)
+    else:
+        th = F.transform(tokens_expr(content_col, cfg), lambda t: F.xxhash64(t))
+        out = make_full_sketch_udf(cfg, with_chunks=with_chunks)(F.col("th"))
+        res = df.withColumn("th", th).withColumn("_sk", out)
     res = (
-        df.withColumn("th", th)
-        .withColumn("_sk", out)
-        .withColumn("shingles", F.col("_sk.shingles"))
+        res.withColumn("shingles", F.col("_sk.shingles"))
         .withColumn("minhash", F.col("_sk.minhash"))
         .withColumn("simhash", F.col("_sk.simhash"))
     )
     if with_chunks:
         res = res.withColumn("chunks", F.col("_sk.chunks"))
     res = res.drop("_sk")
-    return res if keep_token_hashes else res.drop("th")
+    if not keep_token_hashes and "th" in res.columns:
+        res = res.drop("th")
+    return res
 
 
 # ---------------------------------------------------------------- oracles

@@ -191,6 +191,56 @@ def test_lsh_topk_recall_against_brute_force(spark):
     assert mean_overlap(multi) >= base
 
 
+# ------------------------------------------- kernel tokenizer (round-2/3)
+
+
+def test_kernel_tokenizer_matches_python_oracle():
+    import pandas as pd
+
+    from duplicatesuricate_spark.functions.sketch import (
+        _tokenize_hash_np,
+        tokenize_hash_py,
+    )
+
+    samples = [
+        "def foo(x):\n    return bar_2(x) + 1",
+        "",
+        "UPPER lower MiXeD_case 123abc",
+        "   \n\t  ",
+        "a",
+        "x" * 200 + " short",            # token longer than the pass cap
+        "éàç unicode çhars touché",
+        "tok1 tok2\ntok3\ttok4....tok5",
+    ]
+    flat, lens = _tokenize_hash_np(pd.Series(samples))
+    pos = 0
+    for i, s in enumerate(samples):
+        got = [int(x) for x in flat[pos:pos + lens[i]]]
+        pos += lens[i]
+        assert got == tokenize_hash_py(s), f"doc {i}: {s[:40]!r}"
+
+
+def test_kernel_vs_jvm_tokenize_same_clusters(spark):
+    """The two tokenize modes hash into different universes but must
+    produce the SAME clusters on the golden corpus (the planted truth is
+    hash-agnostic)."""
+    from duplicatesuricate_spark.config import DEFAULT_CONFIG
+    from duplicatesuricate_spark.operators.dedup import dedup_pipeline
+    from duplicatesuricate_spark.sources.corpus import with_doc_identity
+    from duplicatesuricate_spark.sources.synth import synth_corpus
+
+    pdf, _ = synth_corpus(n_rows=120, seed=7)
+    corpus = with_doc_identity(spark.createDataFrame(pdf))
+
+    def clusters(cfg):
+        a = dedup_pipeline(corpus, cfg).assignments.toPandas()
+        return a.groupby("cluster_id")["doc_id"].apply(frozenset).tolist()
+
+    jvm = set(map(frozenset, clusters(DEFAULT_CONFIG.with_(kernel_tokenize=False))))
+    kern = set(map(frozenset, clusters(DEFAULT_CONFIG.with_(kernel_tokenize=True))))
+    assert jvm == kern
+
+
 # ------------------------------------------------ SparkML RF accuracy (A14)
 
 
