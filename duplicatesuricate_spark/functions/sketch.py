@@ -243,7 +243,13 @@ def _tokenize_hash_np(contents: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     is register/bandwidth-bound numpy.
     """
     n_docs = len(contents)
-    encoded = [s.encode("utf-8", "surrogatepass") for s in contents]
+    first = contents.iloc[0] if n_docs else b""
+    if isinstance(first, (bytes, bytearray)):
+        # BinaryType input: the JVM did one encode per doc; zero
+        # Python-side string materialization here
+        encoded = contents
+    else:
+        encoded = [s.encode("utf-8", "surrogatepass") for s in contents]
     doc_blens = np.fromiter((len(e) for e in encoded), dtype=np.int64,
                             count=n_docs)
     buf = np.frombuffer(b"\x00".join(encoded) + b"\x00", dtype=np.uint8)
@@ -440,6 +446,11 @@ def with_full_sketches(df: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
     if kernel_tokenize is None:
         kernel_tokenize = getattr(cfg, "kernel_tokenize", False)
     if kernel_tokenize and not keep_token_hashes:
+        # string input measured FASTER than pre-encoding to BinaryType
+        # JVM-side (304s vs 356s at 1M/local[8], single-run): F.encode
+        # adds a JVM byte[] allocation pass without removing the python
+        # join copy.  _tokenize_hash_np accepts bytes too — re-evaluate
+        # with best-of-N repeats before switching.
         out = make_content_sketch_udf(cfg, with_chunks=with_chunks)(
             F.col(content_col)
         )
