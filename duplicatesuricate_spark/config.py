@@ -53,9 +53,15 @@ class DedupConfig:
     jaccard_margin: float = 0.10
     # Secondary channel: accept when SimHash Hamming distance <= this.
     # Candidate generation joins on 2-block-concatenation keys (C(4,2)=6
-    # tables of 32-bit keys, lsh.simhash_block_explode): complete for
-    # hamming <= 2, near-complete for 3 (the residue is recovered by the
-    # MinHash banding at the Jaccard such pairs necessarily have).
+    # tables of 32-bit keys, lsh.simhash_block_explode): pigeonhole-
+    # COMPLETE only for hamming <= 2.  Hamming-3 pairs whose three bit
+    # errors land in three distinct blocks (~37.5% of them) are NOT
+    # guaranteed a shared block pair — they surface only if MinHash
+    # banding fires, and SimHash distance does not bound Jaccard, so this
+    # channel is PROBABILISTIC at 3 (round-2 advice: the acceptance docs
+    # must not imply completeness).  The recall >= 0.99 contract is owned
+    # by the MinHash banding channel at its pinned detection curve; the
+    # SimHash channel is supplementary recall on top.
     hamming_threshold: int = 3
     simhash_blocks: int = 4
 
@@ -84,6 +90,20 @@ class DedupConfig:
     # differ between the two modes; both are internally consistent and the
     # planted-truth oracles are hash-agnostic.
     kernel_tokenize: bool = True
+    # consume content bytes straight from the Arrow string buffers via
+    # mapInArrow and emit sketches as zero-copy ListArrays (round-3 lever:
+    # the pandas-Series form materializes one Python bytes object per doc
+    # at the Arrow boundary — the measured ~170 s serial allocation term
+    # at 1M docs).  Only read when kernel_tokenize is on.
+    arrow_zero_copy: bool = True
+
+    # --- identity (stage B1) ---
+    # repair 64-bit doc_id collisions at pipeline entry (one key-only
+    # groupBy + two probe joins; the colliding set is ~27k rows at 10^12
+    # docs and broadcasts).  Applies when the corpus carries its natural
+    # key (repo, path, commit); corpora that mint their own doc_id skip it
+    # (the caller owns uniqueness there).
+    repair_id_collisions: bool = True
 
     # --- determinism ---
     seed: int = 0x5EED_CA7

@@ -70,6 +70,13 @@ def dedup_pipeline(
     persist: bool = True,
 ) -> DedupResult:
     """corpus with (doc_id, content_sha256, content) -> DedupResult."""
+    # 64-bit doc_id collisions silently merge unrelated docs into one graph
+    # node; repair at entry when the natural key is available (round-2
+    # verdict item 3: no silent-merge path reachable from the public API)
+    if cfg.repair_id_collisions and {"repo", "path", "commit"} <= set(corpus.columns):
+        from duplicatesuricate_spark.sources.corpus import resolve_id_collisions
+
+        corpus = resolve_id_collisions(corpus)
     reps, exact_edges = exact_dup_edges(corpus)
 
     # shingling + sketching are compute-heavy per byte: make sure they are
@@ -82,11 +89,12 @@ def dedup_pipeline(
     # derived inside the same Arrow pass and persisted INSTEAD of the full
     # per-token hash array (~16x fewer bytes on the table every later
     # stage reads)
+    # project: sketch columns ride back over the worker socket next to just
+    # the 8-byte id + sha — multi-KB content bytes are NOT echoed through
+    # Python (and the worker's input is pruned to id/sha/content)
     sketched = with_full_sketches(
-        reps, cfg=cfg, with_chunks=include_substring_pass
-    ).select(
-        "doc_id", "content_sha256", "shingles", "minhash", "simhash",
-        *(["chunks"] if include_substring_pass else []),
+        reps, cfg=cfg, with_chunks=include_substring_pass,
+        project=["doc_id", "content_sha256"],
     )
     if persist:
         # DISK_ONLY, not MEMORY_AND_DISK: the sketch table is the job's

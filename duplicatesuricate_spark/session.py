@@ -42,13 +42,21 @@ def get_spark(
     master = f"local[{cores}]" if cores else "local[*]"
     n_shuffle = shuffle_partitions or (cores * 2 if cores else 32)
 
-    # shuffle/spill scratch on tmpfs when available: this sandbox's root
-    # disk is slow and near-full, and tmpfs pages skip writeback entirely
-    # (on a real cluster spark.local.dir is the provisioned local SSDs —
-    # same principle).  Overridable via SPARK_LOCAL_DIRS.
+    # shuffle/spill scratch on tmpfs when it can actually hold the spill:
+    # this sandbox's root disk is slow and near-full, and tmpfs pages skip
+    # writeback entirely (on a real cluster spark.local.dir is the
+    # provisioned local SSDs — same principle).  Gated on free space (many
+    # hosts cap /dev/shm at 50% of RAM — a DISK_ONLY persist landing on a
+    # nearly-full tmpfs ENOSPCs instead of spilling; round-2 advice): real
+    # disk stays the default below 24 GiB free.  SPARK_LOCAL_DIRS overrides.
     local_dir = os.environ.get("SPARK_LOCAL_DIRS")
     if not local_dir and os.path.isdir("/dev/shm"):
-        local_dir = "/dev/shm/spark-local"
+        try:
+            st = os.statvfs("/dev/shm")
+            if st.f_bavail * st.f_frsize >= 24 << 30:
+                local_dir = "/dev/shm/spark-local"
+        except OSError:
+            pass
 
     b = (
         SparkSession.builder.master(master)

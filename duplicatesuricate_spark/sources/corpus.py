@@ -86,9 +86,19 @@ def resolve_id_collisions(corpus: DataFrame) -> DataFrame:
         .where(F.col("n") > 1)
         .select("doc_id")
     )
-    clean = corpus.join(F.broadcast(colliding), "doc_id", "left_anti")
-    hit = corpus.join(F.broadcast(colliding), "doc_id", "left_semi")
-    w = Window.partitionBy("doc_id").orderBy("repo", "path", "commit")
+    # no forced broadcast: hash collisions alone (~27k at 10^12 rows) would
+    # broadcast fine, but duplicate NATURAL keys (re-ingested snapshots)
+    # also land here and can be millions of rows — let AQE pick broadcast
+    # vs shuffle from the observed size (round-2 advice)
+    clean = corpus.join(colliding, "doc_id", "left_anti")
+    hit = corpus.join(colliding, "doc_id", "left_semi")
+    # content_sha256 tiebreaker makes the ordering total when natural keys
+    # repeat with different contents; rows identical in BOTH natural key
+    # and content are interchangeable, so their rank assignment is
+    # output-equivalent across runs
+    w = Window.partitionBy("doc_id").orderBy(
+        "repo", "path", "commit", "content_sha256"
+    )
     fixed = (
         hit.withColumn("rn", F.row_number().over(w))
         .withColumn(

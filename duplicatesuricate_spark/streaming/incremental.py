@@ -40,12 +40,58 @@ from duplicatesuricate_spark.operators.components import (
 _SKETCH_COLS = ["doc_id", "content_sha256", "shingles", "minhash", "simhash"]
 
 
+def sketch_universe_fingerprint(cfg: DedupConfig) -> str:
+    """Identity of the token/shingle/signature hash universe.
+
+    Two sketch tables are comparable iff every constant below matches:
+    tokenizer mode (JVM xxhash64 vs in-kernel char hash and its version),
+    seed, permutation count, shingle width, band geometry.  Persisted
+    DedupState records this; ``incremental_dedup`` fails fast on mismatch
+    instead of silently producing ~0 Jaccard between old sketches and new
+    deltas (round-2 advice, incremental.py:98)."""
+    import hashlib
+
+    from duplicatesuricate_spark.functions.sketch import KERNEL_VERSION
+
+    parts = (
+        f"kernel_tokenize={cfg.kernel_tokenize}",
+        f"kernel_version={KERNEL_VERSION if cfg.kernel_tokenize else 'jvm-xxhash64'}",
+        f"seed={cfg.seed}",
+        f"num_perms={cfg.num_perms}",
+        f"shingle_k={cfg.shingle_k}",
+        f"bands={cfg.bands}x{cfg.rows_per_band}",
+        f"token_pattern={cfg.token_pattern}",
+    )
+    return hashlib.sha256("|".join(parts).encode()).hexdigest()[:16]
+
+
 class DedupState:
-    """Parquet-backed mutable state: sketches + assignments."""
+    """Parquet-backed mutable state: sketches + assignments + the sketch-
+    universe fingerprint they were computed under."""
 
     def __init__(self, spark: SparkSession, state_dir: str):
         self.spark = spark
         self.dir = Path(state_dir)
+
+    def check_universe(self, cfg: DedupConfig) -> None:
+        """Fail fast if persisted sketches use a different hash universe
+        than ``cfg`` would produce; record the universe on first use."""
+        fp_file = self.dir / "UNIVERSE"
+        fp = sketch_universe_fingerprint(cfg)
+        if fp_file.exists():
+            stored = fp_file.read_text().strip()
+            if stored != fp:
+                raise ValueError(
+                    f"dedup state at {self.dir} was sketched under universe "
+                    f"{stored}, active config produces {fp} "
+                    "(kernel_tokenize / seed / num_perms / shingle_k / bands "
+                    "changed, or the kernel version was bumped). Re-sketch "
+                    "the state or restore the original config — mixing "
+                    "universes silently loses every cross-boundary near-dup."
+                )
+        else:
+            self.dir.mkdir(parents=True, exist_ok=True)
+            fp_file.write_text(fp + "\n")
 
     def _read(self, name: str, schema: str) -> DataFrame:
         p = self.dir / name
@@ -85,6 +131,7 @@ def incremental_dedup(
     """Merge new (doc_id, content_sha256, content) rows into the state;
     returns the updated full assignments table."""
     state = DedupState(spark, state_dir)
+    state.check_universe(cfg)
     old_sk = state.sketches()
     old_assign = state.assignments()
 
@@ -95,7 +142,9 @@ def incremental_dedup(
     # would put state and delta in incompatible shingle universes (~0
     # Jaccard across the boundary — round-1 advice fix).
     fresh = new_corpus.join(old_sk.select("doc_id"), "doc_id", "left_anti")
-    fresh_sk = with_full_sketches(fresh, cfg=cfg).select(*_SKETCH_COLS)
+    fresh_sk = with_full_sketches(
+        fresh, cfg=cfg, project=["doc_id", "content_sha256"]
+    )
     all_sk = old_sk.unionByName(fresh_sk).persist()
 
     # candidate pairs touching at least one fresh doc: band the UNION but

@@ -61,8 +61,12 @@ def test_sketch_stage_is_single_arrow_pass(spark):
         [(1, "a b c d e f g h i j")], "doc_id long, content string"
     )
     plan = _plan(with_full_sketches(docs, cfg=cfg))
-    # exactly one Arrow eval node: shingles+minhash+simhash in one pass
-    assert plan.count("ArrowEvalPython") == 1
+    # exactly one Arrow pass: shingles+minhash+simhash in one node —
+    # MapInArrow on the zero-copy hot path, ArrowEvalPython on the
+    # pandas-UDF fallbacks; never more than one, never a row-wise
+    # BatchEvalPython
+    n_arrow = plan.count("ArrowEvalPython") + plan.count("MapInArrow")
+    assert n_arrow == 1 and "BatchEvalPython" not in plan
 
 
 def test_sink_roundtrip(spark, tmp_path):
