@@ -95,10 +95,15 @@ def resolve_id_collisions(corpus: DataFrame) -> DataFrame:
     # content_sha256 tiebreaker makes the ordering total when natural keys
     # repeat with different contents; rows identical in BOTH natural key
     # and content are interchangeable, so their rank assignment is
-    # output-equivalent across runs
-    w = Window.partitionBy("doc_id").orderBy(
-        "repo", "path", "commit", "content_sha256"
-    )
+    # output-equivalent across runs.  Corpora without a content column
+    # (key-only repair) order by the natural key alone — rows identical in
+    # the full natural key are then interchangeable by definition.
+    order = ["repo", "path", "commit"]
+    if "content_sha256" in corpus.columns:
+        order.append("content_sha256")
+    elif "content" in corpus.columns:
+        order.append("content")
+    w = Window.partitionBy("doc_id").orderBy(*order)
     fixed = (
         hit.withColumn("rn", F.row_number().over(w))
         .withColumn(
