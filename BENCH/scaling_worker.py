@@ -33,6 +33,8 @@ def main() -> None:
     n_pairs = res.pairs.count()
     wall = time.monotonic() - t0
 
+    from duplicatesuricate_spark.functions.sketch import KERNEL_VERSION
+
     print(json.dumps({
         "cores": cores,
         "n_docs": n,
@@ -40,6 +42,10 @@ def main() -> None:
         "n_pairs": n_pairs,
         "wall_sec": round(wall, 2),
         "files_per_sec": round(n / wall, 2),
+        # ties every logged run to the sketch-universe build that produced
+        # it (round-2 verdict: headline numbers must be reproducible from
+        # the log, and pair counts differ across kernel universes)
+        "kernel_version": KERNEL_VERSION,
     }))
     spark.stop()
 

@@ -91,7 +91,9 @@ def simhash_block_explode(
     ).withColumn("band", F.col("band") + F.lit(cfg.bands))
 
 
-def candidate_pairs(bands: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> DataFrame:
+def candidate_pairs(
+    bands: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG, persist: bool = True
+) -> DataFrame:
     """(doc_id, band, band_hash) -> distinct canonical pairs (id_a < id_b).
 
     Pair canonicalization mirrors the reference's ``unique_pairs``
@@ -105,12 +107,29 @@ def candidate_pairs(bands: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> Data
     # would force a second exchange) and lets AQE size it.
     b = bands.repartition("band", "band_hash")
     w = Window.partitionBy("band", "band_hash")
-    tagged = b.withColumn("bucket_n", F.count(F.lit(1)).over(w))
+    tagged = b.withColumn("bucket_n", F.count(F.lit(1)).over(w)).filter(
+        # singleton buckets (the overwhelming majority of band rows — ~90%
+        # at 1M docs) can never produce a pair; dropping them BEFORE the
+        # persist shrinks the table every downstream branch reads ~10x
+        F.col("bucket_n") >= 2
+    )
+    if persist:
+        # the tagged table feeds SIX plan branches (both sides of the
+        # small-bucket self-join, both sides of the hot-clique join, and
+        # the two star tiers).  Without materialization each branch
+        # re-executes the 22-band explode + exchange + window — measured
+        # at 1M docs/local[8] that made candidate generation the single
+        # most expensive stage (~121 s); persisting the ~10x-reduced
+        # table runs it once (~17 s).  DISK_ONLY for the same reason as
+        # the sketch table: executor-local, lineage-recoverable.
+        from pyspark import StorageLevel
+
+        tagged = tagged.persist(StorageLevel.DISK_ONLY)
 
     # --- normal buckets: full pairwise self-join ---
-    small = tagged.filter(
-        (F.col("bucket_n") >= 2) & (F.col("bucket_n") <= cfg.hot_band_cap)
-    ).select("band", "band_hash", "doc_id")
+    small = tagged.filter(F.col("bucket_n") <= cfg.hot_band_cap).select(
+        "band", "band_hash", "doc_id"
+    )
     left = small.alias("a")
     right = small.alias("b")
     pairs_small = left.join(right, ["band", "band_hash"]).where(

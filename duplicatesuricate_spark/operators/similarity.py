@@ -191,11 +191,21 @@ def embedding_near_dup_pairs(
 
     b = sig.repartition("tbl", "bucket")
     w = Window.partitionBy("tbl", "bucket")
-    tagged = b.withColumn("bucket_n", F.count(F.lit(1)).over(w))
+    # singleton buckets can't pair — filter before persisting, then serve
+    # all four plan branches (small join x2, hot join x2, star tiers) from
+    # the materialized table instead of re-running explode+window per
+    # branch (same rationale and measurement as lsh.candidate_pairs)
+    from pyspark import StorageLevel
 
-    small = tagged.filter(
-        (F.col("bucket_n") >= 2) & (F.col("bucket_n") <= hot_bucket_cap)
-    ).select("tbl", "bucket", "vec_id")
+    tagged = (
+        b.withColumn("bucket_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("bucket_n") >= 2)
+        .persist(StorageLevel.DISK_ONLY)
+    )
+
+    small = tagged.filter(F.col("bucket_n") <= hot_bucket_cap).select(
+        "tbl", "bucket", "vec_id"
+    )
     pairs_small = (
         small.alias("a")
         .join(small.alias("b"), ["tbl", "bucket"])
