@@ -35,6 +35,17 @@ def main() -> None:
 
     from duplicatesuricate_spark.functions.sketch import KERNEL_VERSION
 
+    try:
+        import subprocess
+
+        rev = subprocess.run(
+            ["git", "-C", os.path.dirname(os.path.dirname(__file__)),
+             "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or None
+    except Exception:
+        rev = None
+
     print(json.dumps({
         "cores": cores,
         "n_docs": n,
@@ -46,6 +57,7 @@ def main() -> None:
         # it (round-2 verdict: headline numbers must be reproducible from
         # the log, and pair counts differ across kernel universes)
         "kernel_version": KERNEL_VERSION,
+        "code_rev": rev,
     }))
     spark.stop()
 

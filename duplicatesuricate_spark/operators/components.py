@@ -111,12 +111,20 @@ def connected_components(
         edges = edges.persist()
         n_edges = edges.count()
         if n_edges <= driver_threshold:
-            rows = [(r[0], r[1]) for r in edges.collect()]
+            # Arrow both ways: row-at-a-time py4j collect() / createDataFrame
+            # serialize a few hundred thousand edges in tens of seconds of
+            # pure driver time — toPandas + a pandas round-trip move the
+            # same rows as two Arrow batches
+            pdf = edges.toPandas()
             edges.unpersist()
-            spark = pairs.sparkSession
-            return spark.createDataFrame(
-                _driver_union_find(rows), "doc_id long, cluster_id long"
+            rows = list(zip(pdf["id_a"].tolist(), pdf["id_b"].tolist()))
+            import pandas as pd
+
+            out = pd.DataFrame(
+                _driver_union_find(rows), columns=["doc_id", "cluster_id"]
             )
+            spark = pairs.sparkSession
+            return spark.createDataFrame(out, "doc_id long, cluster_id long")
     if checkpoint:
         edges = edges.localCheckpoint()
     prev_sig = None
