@@ -31,7 +31,7 @@ from duplicatesuricate_spark.operators.lsh import (
     candidate_pairs,
     simhash_block_explode,
 )
-from duplicatesuricate_spark.operators.score import score_pairs, filter_dup_pairs
+from duplicatesuricate_spark.operators.score import score_and_verify
 from duplicatesuricate_spark.operators.components import (
     connected_components,
     assignments_with_singletons,
@@ -121,6 +121,16 @@ class DedupState:
             shutil.rmtree(final)
         Path(tmp).rename(final)
 
+    def append(self, name: str, df: DataFrame) -> None:
+        """Append-only tables (the sketch log): rewriting the full sketch
+        table per merge is O(total corpus) — at 10^12 rows that single
+        write dwarfs the delta work itself.  Appends are not atomic like
+        the tmp+rename overwrite, so callers must order writes such that
+        a crash mid-append is idempotently repaired on the next run (see
+        ``incremental_dedup``: assignments commit first; docs assigned
+        but missing from sketches are simply reprocessed as fresh)."""
+        df.write.mode("append").parquet(str(self.dir / name))
+
 
 def incremental_dedup(
     spark: SparkSession,
@@ -142,31 +152,57 @@ def incremental_dedup(
     # would put state and delta in incompatible shingle universes (~0
     # Jaccard across the boundary — round-1 advice fix).
     fresh = new_corpus.join(old_sk.select("doc_id"), "doc_id", "left_anti")
+    # persisted so the final state append reads materialized blocks (the
+    # union below computes exactly these partitions) instead of re-running
+    # the sketch kernel — and so the append never re-scans the sketches
+    # dir it is writing into
+    from pyspark import StorageLevel
+
     fresh_sk = with_full_sketches(
         fresh, cfg=cfg, project=["doc_id", "content_sha256"]
-    )
-    all_sk = old_sk.unionByName(fresh_sk).persist()
+    ).persist(StorageLevel.DISK_ONLY)
+    # the union is deliberately NOT persisted: persisting it would
+    # materialize the ENTIRE historical sketch table (shingle arrays
+    # included) — O(total corpus) I/O per merge, the opposite of
+    # incremental.  Left lazy, every consumer below prunes its own
+    # columns out of the parquet state (banding reads minhash/simhash
+    # only, sha edges read 8+64 bytes/row) while the fresh side serves
+    # from the persisted delta blocks.
+    all_sk = old_sk.unionByName(fresh_sk)
 
     # candidate pairs touching at least one fresh doc: band the UNION but
-    # keep only buckets containing a fresh doc (cheap filter via semi-join
-    # of band keys against fresh band keys)
+    # keep only buckets containing a fresh doc.  The fresh band keys are
+    # derived from the DELTA sketches alone (identical values — banding is
+    # per-row), so the expensive 22-key explode over the historical table
+    # runs exactly once, and the delta key set is small enough for AQE to
+    # broadcast into the semi-join (no shuffle of the union's band rows).
     all_bands = band_explode(all_sk, cfg).unionByName(
         simhash_block_explode(all_sk, cfg)
     )
-    fresh_ids = fresh_sk.select("doc_id")
-    fresh_bands = all_bands.join(fresh_ids, "doc_id", "left_semi").select(
-        "band", "band_hash"
-    ).distinct()
+    fresh_bands = band_explode(fresh_sk, cfg).unionByName(
+        simhash_block_explode(fresh_sk, cfg)
+    ).select("band", "band_hash").distinct()
     touched = all_bands.join(fresh_bands, ["band", "band_hash"], "left_semi")
     cands = candidate_pairs(touched, cfg)
-    new_pairs = filter_dup_pairs(score_pairs(cands, all_sk, cfg), all_sk, cfg)
+    # fused estimate->prefilter->exact-verify (two hydration joins) — the
+    # same stage-B7 form the batch pipeline uses; the previous
+    # score_pairs + filter_dup_pairs pair hydrated the sketch table four
+    # times
+    new_pairs = score_and_verify(cands, all_sk, cfg)
 
     # previous components as star edges + new pairs -> re-converge
     old_edges = old_assign.where(F.col("doc_id") != F.col("cluster_id")).select(
         F.col("cluster_id").alias("id_a"), F.col("doc_id").alias("id_b")
     )
-    # exact dups across old/new: same sha -> same cluster
-    sha_edges_src = all_sk.select("doc_id", "content_sha256")
+    # exact dups across old/new: same sha -> same cluster.  Only sha groups
+    # CONTAINING a fresh doc need new edges (groups wholly in the old state
+    # are already connected through old_edges), so the window runs over the
+    # semi-joined subset — the delta sha set broadcasts and the union is
+    # scanned map-side (two pruned columns), never shuffled whole.
+    fresh_shas = fresh_sk.select("content_sha256").distinct()
+    sha_edges_src = all_sk.select("doc_id", "content_sha256").join(
+        fresh_shas, "content_sha256", "left_semi"
+    )
     from pyspark.sql import Window
 
     w = Window.partitionBy("content_sha256")
@@ -186,9 +222,20 @@ def incremental_dedup(
         all_sk.select("doc_id", "content_sha256"), comps
     )
 
+    # assignments first (atomic tmp+rename), THEN append only the FRESH
+    # sketches: if the job dies between the two, the next run's left-anti
+    # on sketch doc_ids re-sketches the assigned-but-unappended docs —
+    # idempotent — whereas appending first would leave docs that the
+    # left-anti skips forever without assignments.  Appending fresh rows
+    # instead of rewriting the union keeps the state write O(delta).
     state.write("assignments", assignments)
-    state.write("sketches", all_sk)
+    # materialize before the append: fresh_sk's plan reads the sketches
+    # dir being appended to (via all_sk lineage in assignments above it is
+    # already computed and persisted, but fresh_sk itself must not scan
+    # the destination mid-write)
+    state.append("sketches", fresh_sk.select(*_SKETCH_COLS))
     all_sk.unpersist()
+    fresh_sk.unpersist()
     return state.assignments()
 
 
