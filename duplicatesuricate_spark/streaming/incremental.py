@@ -256,6 +256,11 @@ def stream_dedup(
         if batch_df.isEmpty():
             return
         incremental_dedup(batch_df.sparkSession, batch_df, state_dir, cfg)
+        # every result is durably in the state dir at this point; drop the
+        # batch's internal persisted tables (e.g. candidate_pairs' bucket
+        # table, which the caller cannot reach) so a long-running stream
+        # doesn't accumulate DISK_ONLY blocks across micro-batches
+        batch_df.sparkSession.catalog.clearCache()
 
     return (
         corpus_stream.writeStream.foreachBatch(process)
