@@ -65,11 +65,26 @@ elif phase == "incremental":
 else:  # full recompute over the union, no substring channel
     from duplicatesuricate_spark.operators.dedup import dedup_pipeline
     res = dedup_pipeline(base.unionByName(delta), include_substring_pass=False)
-    n_out = res.assignments.count()
+    out = res.assignments
+    n_out = out.count()
 wall = time.monotonic() - t0
+# clustering-sensitive signature (round-3 advice item 5: the raw
+# assignment count is one-row-per-doc by construction in BOTH paths, so
+# count equality can never detect clustering divergence).  The cluster-
+# size histogram hash changes if ANY doc moves between clusters of
+# different sizes; the non-singleton count catches gross divergence.
+import hashlib
+sizes = out.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
+hist = sorted(
+    (r["sz"], r["n"]) for r in
+    sizes.groupBy("sz").agg(F.count(F.lit(1)).alias("n")).collect()
+)
+n_nonsingleton = sum(n for sz, n in hist if sz >= 2)
+cluster_sig = hashlib.sha256(json.dumps(hist).encode()).hexdigest()[:16]
 print(json.dumps({{
     "phase": phase, "cores": {cores}, "n_base": n_base, "n_delta": n_delta,
-    "n_assignments": n_out, "wall_sec": round(wall, 2),
+    "n_assignments": n_out, "n_nonsingleton_clusters": n_nonsingleton,
+    "cluster_histogram_sha": cluster_sig, "wall_sec": round(wall, 2),
 }}))
 spark.stop()
 """
@@ -113,6 +128,14 @@ def main() -> None:
         "delta_fraction": round(inc["n_delta"] / n_docs, 4),
         "incremental_vs_full": round(ratio, 3),
         "assignments_equal": inc["n_assignments"] == full["n_assignments"],
+        # clustering-sensitive checks (size histogram + non-singleton
+        # count) — the raw count above equals n_docs in both paths by
+        # construction and can never catch clustering divergence
+        "clusters_equal": (
+            inc["cluster_histogram_sha"] == full["cluster_histogram_sha"]
+        ),
+        "n_nonsingleton_incremental": inc["n_nonsingleton_clusters"],
+        "n_nonsingleton_full": full["n_nonsingleton_clusters"],
         "n_assignments_incremental": inc["n_assignments"],
         "n_assignments_full": full["n_assignments"],
     }

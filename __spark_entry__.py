@@ -240,7 +240,14 @@ def _plain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 # distance-based acceptance — not expressible in SQL — is disabled.  The
 # default two-channel config stays covered by entry(), bench.py, and the
 # golden-recall pytest oracles.
-_ORACLE_CFG = DEFAULT_CONFIG.with_(hamming_threshold=-1)
+# jaccard_margin widened 0.10 -> 0.20 for the oracle queries: with the
+# Hamming channel off, the only prefilter is the MinHash estimate >=
+# threshold - margin.  A true pair with exact Jaccard just above 0.85 has
+# ~1e-3 probability of estimating below 0.75 (3 sigma at 128 perms) — a
+# flake if the corpus is ever regenerated.  0.65 is ~6 sigma (P < 1e-9),
+# and the only cost is a few extra exact verifications at sf0.01 scale
+# (round-3 advice item 4).
+_ORACLE_CFG = DEFAULT_CONFIG.with_(hamming_threshold=-1, jaccard_margin=0.2)
 
 
 def _q_minhash_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -256,11 +263,66 @@ def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Accepted near-dup pairs with their EXACT shingle Jaccard.  The
     oracle computes every pair with 5-gram Jaccard >= 0.85 by brute force;
     equality is therefore a measured recall-AND-precision = 1.0 statement
-    for the LSH candidate stage on this corpus."""
+    for the LSH candidate stage on this corpus.
+
+    The pipeline's exact pre-pass collapses byte-identical docs to one
+    representative (star edges only) and near-dups only representatives,
+    while the brute-force oracle emits ALL pairs.  So the rep-level output
+    is expanded back to doc level here (round-3 advice item 3 — without
+    this the equality silently relied on the corpus having no sha group of
+    size >= 3 and no copy adjacent to a third doc): sha-identical groups
+    become full cliques at Jaccard 1.0 (identical text -> identical gram
+    set), and each rep-level near-dup pair propagates to every (copy_a,
+    copy_b) combination with the rep pair's Jaccard (copies share the
+    rep's gram set exactly).  Cheap at contract scale: the rep map is
+    |docs| rows and the expansion joins are broadcast-sized."""
     corpus = _plain_corpus(spark, sf_dir)
     res = dedup_pipeline(corpus, _ORACLE_CFG, include_substring_pass=False)
-    return res.pairs.select(
-        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    return expand_rep_pairs_to_doc_level(corpus, res.pairs)
+
+
+def expand_rep_pairs_to_doc_level(
+    corpus: DataFrame, pairs: DataFrame
+) -> DataFrame:
+    """Rep-level pipeline pairs -> the full doc-level >= threshold pair set
+    (what a brute-force oracle emits): sha-identical cliques at Jaccard 1.0
+    plus every rep near-dup pair propagated to all copy combinations."""
+    m = (
+        corpus.select("doc_id", "content_sha256")
+        .withColumn(
+            "rep_id",
+            F.min("doc_id").over(Window.partitionBy("content_sha256")),
+        )
+        .select("doc_id", "rep_id")
+    )
+    near = pairs.where(F.col("kind") == "near_dup").select(
+        "id_a", "id_b", "jaccard"
+    )
+    ma = m.select(F.col("rep_id").alias("id_a"), F.col("doc_id").alias("da"))
+    mb = m.select(F.col("rep_id").alias("id_b"), F.col("doc_id").alias("db"))
+    expanded = (
+        near.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("da", "db").alias("id_a"),
+            F.greatest("da", "db").alias("id_b"),
+            "jaccard",
+        )
+    )
+    clique = (
+        m.alias("x")
+        .join(m.alias("y"), "rep_id")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("id_a"),
+            F.col("y.doc_id").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return (
+        expanded.unionByName(clique)
+        .groupBy("id_a", "id_b")
+        .agg(F.round(F.max("jaccard"), 6).alias("jaccard"))
     )
 
 
@@ -314,13 +376,11 @@ def _q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("probe_id", "vec_id", "cosine", "rank")
 
 
-# ------- non-SQL-expressible (rows-only; pytest oracles cover recall) ----
-
-
-def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _emb(spark, sf_dir)
-    probes = e.where(F.col("vec_id") < 3)
-    return lsh_topk(e, probes, k=5, n_planes=8, dim=64)
+# ann_lsh_topk (plain LSH top-k, rows-only) was retired in round 4: it was
+# the last `no_oracle` entry and is strictly subsumed by the oracle-checked
+# `ann_lsh_recall`, which runs the same lsh_topk operator (multiprobe path
+# included) against planted ground truth (round-3 verdict item 5).  The
+# non-multiprobe path stays covered by tests/test_textqa_similarity.py.
 
 
 def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -415,8 +475,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": _q_minhash_pairs,
         "exact_substring_pairs": _q_exact_substring,
         "ann_lsh_recall": _q_ann_lsh_recall,
-        # non-SQL-expressible (rows-only):
-        "ann_lsh_topk": _q_ann_lsh,
         "embedding_near_dup": _q_embedding_near_dup,
         "multimodal_features": _q_multimodal_features,
         "multimodal_frame_plan": _q_multimodal_frame_plan,

@@ -54,18 +54,53 @@ def blocking_pairs(
     return out.distinct()
 
 
+def cross_blocking_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str,
+    any_cols: list[str],
+) -> DataFrame:
+    """Two-table blocking (the reference's input_records-vs-target case,
+    merger.py:20-22): keep (left id, right id) pairs where ANY blocking key
+    matches.  Expressed as a UNION of per-key equi-joins + distinct — NOT a
+    single join on an OR of equalities, which Spark cannot plan as an
+    equi-join and falls back to BroadcastNestedLoopJoin / cartesian,
+    O(|left|·|right|) at scale (round-3 verdict item 1).  Each branch here
+    is a shuffled (or broadcast) hash join on its own key."""
+    if not any_cols:
+        raise ValueError("cross blocking needs at least one key column")
+    a = left.alias("a")
+    b = right.alias("b")
+    out: DataFrame | None = None
+    for k in any_cols:
+        p = (
+            a.join(b, F.col(f"a.{k}") == F.col(f"b.{k}"))
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+        )
+        out = p if out is None else out.unionByName(p)
+    return out.distinct()
+
+
 def similarity_table(
     df: DataFrame,
     pairs: DataFrame,
     scoredict: dict[str, list[str]],
     id_col: str,
+    right_df: DataFrame | None = None,
 ) -> DataFrame:
     """The reference's ``build_similarity_table`` (utils.py:288-328) over a
     pair table: hydrate both sides, emit one score column per
     (column, kernel) with the reference's suffix convention, plus
-    ``c_source``/``c_target`` copies for 'attributes' entries."""
+    ``c_source``/``c_target`` copies for 'attributes' entries.
+
+    ``right_df`` hydrates ``id_b`` from a second relation (the two-table
+    linkage case); default is the self-linkage case (both sides of each
+    pair come from ``df``)."""
     a = df.alias("a")
-    b = df.alias("b")
+    b = (right_df if right_df is not None else df).alias("b")
     joined = (
         pairs.join(a, pairs["id_a"] == F.col(f"a.{id_col}"))
         .join(b, pairs["id_b"] == F.col(f"b.{id_col}"))

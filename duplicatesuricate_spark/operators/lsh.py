@@ -92,13 +92,22 @@ def simhash_block_explode(
 
 
 def candidate_pairs(
-    bands: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG, persist: bool = True
+    bands: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG, persist: bool = True,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """(doc_id, band, band_hash) -> distinct canonical pairs (id_a < id_b).
 
     Pair canonicalization mirrors the reference's ``unique_pairs``
     (duplicatesuricate/retrain.py:43-65: drop self-pairs, order-insensitive
     key, drop duplicates) as ``least/greatest + filter + distinct``.
+
+    ``cache_registry``: callers that materialize the returned pairs and
+    then keep running (incremental merges, streams) pass a list here; the
+    internal persisted bucket table is appended to it so the OWNER can
+    ``unpersist()`` exactly that table once the pairs are consumed —
+    instead of leaking one DISK_ONLY block set per call for the session
+    lifetime, or nuking the whole session cache (round-3 advice items
+    1-2).
     """
     # bucketed repartitioning on the band keys: ONE explicit exchange that
     # the window count AND the self-join both consume.  No partition count
@@ -125,6 +134,8 @@ def candidate_pairs(
         from pyspark import StorageLevel
 
         tagged = tagged.persist(StorageLevel.DISK_ONLY)
+        if cache_registry is not None:
+            cache_registry.append(tagged)
 
     # --- normal buckets: full pairwise self-join ---
     small = tagged.filter(F.col("bucket_n") <= cfg.hot_band_cap).select(

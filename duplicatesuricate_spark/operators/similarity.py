@@ -157,6 +157,7 @@ def embedding_near_dup_pairs(
     hot_bucket_cap: int = 1024,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via multi-table LSH self-join
     (the embedding-space cousin of the MinHash band join).
@@ -202,6 +203,11 @@ def embedding_near_dup_pairs(
         .filter(F.col("bucket_n") >= 2)
         .persist(StorageLevel.DISK_ONLY)
     )
+    # long-lived sessions calling this repeatedly (incremental merges) own
+    # the cleanup: append the persisted table so the caller can unpersist
+    # it once the returned pairs are materialized (round-3 advice item 2)
+    if cache_registry is not None:
+        cache_registry.append(tagged)
 
     small = tagged.filter(F.col("bucket_n") <= hot_bucket_cap).select(
         "tbl", "bucket", "vec_id"

@@ -100,7 +100,8 @@ def chunk_df_stats(corpus: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> Data
 
 
 def substring_candidates(
-    corpus: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG
+    corpus: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Candidate containment pairs from shared chunk hashes.
 
@@ -113,6 +114,10 @@ def substring_candidates(
     from pyspark import StorageLevel
 
     ch = chunk_hashes(corpus, cfg).persist(StorageLevel.DISK_ONLY)
+    # cache ownership convention (see lsh.candidate_pairs): looping callers
+    # unpersist this once the returned pairs are materialized
+    if cache_registry is not None:
+        cache_registry.append(ch)
     # document-frequency cap on hot chunks (boilerplate)
     df_counts = ch.groupBy("chunk_hash").agg(F.count(F.lit(1)).alias("df"))
     ch = ch.join(
@@ -192,6 +197,7 @@ def exact_substring_pairs(
     corpus: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
     token_hashes: DataFrame | None = None,
     chunk_table: DataFrame | None = None,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Full stage-B9 pass: candidates -> exact verify -> canonical pairs.
 
@@ -204,7 +210,10 @@ def exact_substring_pairs(
         else token_hashes if token_hashes is not None
         else corpus
     )
-    verified = verify_containment(substring_candidates(cand_src, cfg), corpus, cfg)
+    verified = verify_containment(
+        substring_candidates(cand_src, cfg, cache_registry=cache_registry),
+        corpus, cfg,
+    )
     return verified.select(
         F.least("id_a", "id_b").alias("id_a"),
         F.greatest("id_a", "id_b").alias("id_b"),

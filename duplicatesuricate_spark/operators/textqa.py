@@ -143,6 +143,7 @@ def ngram_jaccard_pairs(
     min_shared: int = 1,
     threshold: float = 0.5,
     max_df: int = 256,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """n-gram Jaccard near-dup pairs, fully SQL-expressible (the oracle-
     checkable cousin of the MinHash path): explode distinct k-gram md5s,
@@ -180,6 +181,10 @@ def ngram_jaccard_pairs(
     g = t.select(
         "doc_id", F.explode(F.array_distinct(grams)).alias("gram")
     ).persist(StorageLevel.DISK_ONLY)
+    # hand the persisted gram table to callers that loop (cache ownership
+    # convention, see lsh.candidate_pairs)
+    if cache_registry is not None:
+        cache_registry.append(g)
     if max_df > 0:
         keep = (
             g.groupBy("gram")

@@ -186,7 +186,13 @@ def incremental_dedup(
         simhash_block_explode(fresh_sk, cfg)
     ).select("band", "band_hash").distinct()
     touched = all_bands.join(fresh_bands, ["band", "band_hash"], "left_semi")
-    cands = candidate_pairs(touched, cfg)
+    # owned caches: candidate_pairs persists its bucket table internally;
+    # register it so THIS call can unpersist exactly its own intermediates
+    # after the state is durably written (round-3 advice items 1-2 — a
+    # looping caller must not leak one DISK_ONLY table per merge, and
+    # session-global clearCache would evict caller-owned caches)
+    owned: list = [fresh_sk]
+    cands = candidate_pairs(touched, cfg, cache_registry=owned)
     # fused estimate->prefilter->exact-verify (two hydration joins) — the
     # same stage-B7 form the batch pipeline uses; the previous
     # score_pairs + filter_dup_pairs pair hydrated the sketch table four
@@ -237,8 +243,8 @@ def incremental_dedup(
     # already computed and persisted, but fresh_sk itself must not scan
     # the destination mid-write)
     state.append("sketches", fresh_sk.select(*_SKETCH_COLS))
-    all_sk.unpersist()
-    fresh_sk.unpersist()
+    for df in owned:
+        df.unpersist()
     return state.assignments()
 
 
@@ -255,12 +261,12 @@ def stream_dedup(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # incremental_dedup unpersists exactly its own intermediates after
+        # the state is durably written, so a long-running stream neither
+        # accumulates DISK_ONLY blocks NOR touches caches the caller owns
+        # (the former catalog.clearCache() here was session-global —
+        # round-3 advice item 1)
         incremental_dedup(batch_df.sparkSession, batch_df, state_dir, cfg)
-        # every result is durably in the state dir at this point; drop the
-        # batch's internal persisted tables (e.g. candidate_pairs' bucket
-        # table, which the caller cannot reach) so a long-running stream
-        # doesn't accumulate DISK_ONLY blocks across micro-batches
-        batch_df.sparkSession.catalog.clearCache()
 
     return (
         corpus_stream.writeStream.foreachBatch(process)
