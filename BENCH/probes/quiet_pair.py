@@ -1,0 +1,53 @@
+#!/usr/bin/env python
+"""Opportunistic paired scaling measurement: wait for a quiet host window
+(1-min load below threshold), then run local[8] -> local[2] -> local[8]
+back-to-back in fresh JVMs, appending every row to scaling_runs.jsonl.
+Time-adjacent pairs under matched conditions are the cleanest efficiency
+evidence this shared host can produce (see BENCH/BASELINE.md).
+
+Usage: python BENCH/probes/quiet_pair.py [max_wait_min] [load_threshold]
+"""
+import json, os, subprocess, sys, time
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(HERE)
+CORPUS = os.path.join(HERE, "data", "corpus2000000.parquet")
+LOG = os.path.join(HERE, "data", "scaling_runs.jsonl")
+
+max_wait = float(sys.argv[1]) if len(sys.argv) > 1 else 60
+thresh = float(sys.argv[2]) if len(sys.argv) > 2 else 0.3
+
+deadline = time.time() + max_wait * 60
+while time.time() < deadline:
+    load1 = os.getloadavg()[0]
+    if load1 < thresh:
+        break
+    time.sleep(30)
+else:
+    print(json.dumps({"quiet_pair": "no quiet window", "load": os.getloadavg()}))
+    sys.exit(0)
+
+rows = []
+for cores in (8, 2, 8):
+    out = subprocess.run(
+        [sys.executable, os.path.join(HERE, "scaling_worker.py"),
+         str(cores), CORPUS],
+        capture_output=True, text=True, timeout=3600,
+        env=dict(os.environ, PYTHONPATH=REPO),
+    )
+    if out.returncode != 0:
+        sys.stderr.write(out.stderr[-1500:])
+        continue
+    r = json.loads(out.stdout.strip().splitlines()[-1])
+    r["load1_at_start"] = round(load1, 2)
+    with open(LOG, "a") as f:
+        f.write(json.dumps(r) + "\n")
+    rows.append(r)
+
+tp = {c: max((x["files_per_sec"] for x in rows if x["cores"] == c), default=None)
+      for c in (2, 8)}
+if tp[2] and tp[8]:
+    print(json.dumps({"eff_2_to_8": round(tp[8] / tp[2] / 4, 3),
+                      "tp2": tp[2], "tp8": tp[8], "n_runs": len(rows)}))
+else:
+    print(json.dumps({"quiet_pair": "incomplete", "rows": rows}))

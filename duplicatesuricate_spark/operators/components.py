@@ -107,8 +107,10 @@ def connected_components(
     Both paths emit identical labels (component min), so the switch is
     invisible to callers and to tests."""
     edges = pairs.select("id_a", "id_b").where(F.col("id_a") != F.col("id_b"))
+    sized = None
     if driver_threshold > 0:
-        edges = edges.persist()
+        sized = edges.persist()
+        edges = sized
         n_edges = edges.count()
         if n_edges <= driver_threshold:
             # Arrow both ways: row-at-a-time py4j collect() / createDataFrame
@@ -127,6 +129,12 @@ def connected_components(
             return spark.createDataFrame(out, "doc_id long, cluster_id long")
     if checkpoint:
         edges = edges.localCheckpoint()
+        if sized is not None:
+            # the size gate's persist is superseded by the checkpointed
+            # edge set; dropping it keeps repeated CC calls from
+            # accumulating cached blocks for the session lifetime (same
+            # ownership rule as the LSH bucket table)
+            sized.unpersist()
     prev_sig = None
     for _ in range(max_iterations):
         edges = _small_star(_large_star(edges))

@@ -60,8 +60,13 @@ def main() -> None:
                          snapshot_id=args.snapshot_id)
     res = dedup_pipeline(corpus, include_substring_pass=not args.no_substring)
     write_dedup_outputs(res, args.output)
+    # per-partition lineage metrics land next to the data outputs (north
+    # rule: per-partition lineage + metrics on the default path); reading
+    # them back costs one pass over the already-persisted stage blocks
+    res.metrics.write.mode("overwrite").parquet(f"{args.output}/metrics")
     n_assign = spark.read.parquet(f"{args.output}/assignments").count()
     n_pairs = spark.read.parquet(f"{args.output}/pairs").count()
+    res.unpersist()
     print(json.dumps({
         "assignments": n_assign,
         "pairs": n_pairs,

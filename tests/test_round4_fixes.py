@@ -271,6 +271,43 @@ def test_minhash_pairs_expansion_with_planted_sha_groups(spark):
     assert got == oracle
 
 
+# ------------------------------------------- 5c. real-codec worked example
+
+
+def test_make_real_decoder_gating(spark):
+    """make_real_decoder is the worked example for wiring real codecs into
+    extract_features.  Without any codec library it must fail at BUILD
+    time with one actionable message; with Pillow present the image path
+    must run end-to-end through the same mapInPandas plumbing as the fake
+    codec."""
+    from duplicatesuricate_spark.operators.multimodal import (
+        FEATURE_DIM,
+        MEDIA_SCHEMA,
+        extract_features,
+        make_real_decoder,
+    )
+
+    try:
+        import io
+
+        from PIL import Image  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="codec library"):
+            make_real_decoder()
+        return
+
+    buf = io.BytesIO()
+    Image.new("L", (8, 8), color=128).save(buf, format="PNG")
+    media = spark.createDataFrame(
+        [(1, "image", buf.getvalue(),
+          {"width": 8, "height": 8, "sample_rate": None, "n_frames": None})],
+        MEDIA_SCHEMA,
+    )
+    row = extract_features(media, decode_fn=make_real_decoder()).collect()[0]
+    assert len(row.feature) == FEATURE_DIM
+    assert all(abs(v - 128 / 255) < 1e-5 for v in row.feature)
+
+
 # --------------------------------------------------- 6. iceberg gating
 
 
