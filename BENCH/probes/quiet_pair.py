@@ -27,8 +27,13 @@ else:
     print(json.dumps({"quiet_pair": "no quiet window", "load": os.getloadavg()}))
     sys.exit(0)
 
+# round-4 advice: load1 is re-sampled IMMEDIATELY before each worker
+# launch (not once for the batch), and efficiency uses the MEDIAN of the
+# local[8] samples vs the local[2] sample — best-of-N vs best-of-1 biased
+# the ratio upward.
 rows = []
 for cores in (8, 2, 8):
+    load_now = round(os.getloadavg()[0], 2)
     out = subprocess.run(
         [sys.executable, os.path.join(HERE, "scaling_worker.py"),
          str(cores), CORPUS],
@@ -39,15 +44,26 @@ for cores in (8, 2, 8):
         sys.stderr.write(out.stderr[-1500:])
         continue
     r = json.loads(out.stdout.strip().splitlines()[-1])
-    r["load1_at_start"] = round(load1, 2)
+    r["load1_at_start"] = load_now
     with open(LOG, "a") as f:
         f.write(json.dumps(r) + "\n")
     rows.append(r)
 
-tp = {c: max((x["files_per_sec"] for x in rows if x["cores"] == c), default=None)
+
+def _median(xs):
+    xs = sorted(xs)
+    n = len(xs)
+    if not n:
+        return None
+    mid = n // 2
+    return xs[mid] if n % 2 else (xs[mid - 1] + xs[mid]) / 2
+
+
+tp = {c: _median([x["files_per_sec"] for x in rows if x["cores"] == c])
       for c in (2, 8)}
 if tp[2] and tp[8]:
     print(json.dumps({"eff_2_to_8": round(tp[8] / tp[2] / 4, 3),
-                      "tp2": tp[2], "tp8": tp[8], "n_runs": len(rows)}))
+                      "tp2_median": tp[2], "tp8_median": tp[8],
+                      "n_runs": len(rows)}))
 else:
     print(json.dumps({"quiet_pair": "incomplete", "rows": rows}))

@@ -135,6 +135,13 @@ def connected_components(
             # accumulating cached blocks for the session lifetime (same
             # ownership rule as the LSH bucket table)
             sized.unpersist()
+    elif sized is not None:
+        # no-checkpoint distributed path (round-4 advice): the gate's
+        # persist served only the count above — release it now rather than
+        # leak it for the session lifetime.  Iterations recompute the
+        # trivial select/filter from the source lineage, exactly as if the
+        # gate had been disabled (driver_threshold=0).
+        sized.unpersist()
     prev_sig = None
     for _ in range(max_iterations):
         edges = _small_star(_large_star(edges))
