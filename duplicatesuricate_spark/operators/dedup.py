@@ -73,6 +73,24 @@ class DedupResult:
             df.unpersist(blocking)
 
 
+def exact_dup_map(corpus: DataFrame) -> DataFrame:
+    """Slim ``(doc_id, rep_id)`` map of REDUNDANT byte-identical copies:
+    one row per doc whose ``content_sha256`` group minimum is some other
+    doc.  This is the single sha-window pass the whole exact pre-pass
+    derives from — ``exact_dup_edges`` renames it to star edges, and the
+    representative set is the corpus anti-joined against its ``doc_id``s.
+    The checkpointed runner materializes THIS as its own stage so reps and
+    exact_edges both read the parquet instead of each re-executing the
+    window (round-4 verdict "what's wrong" item 2)."""
+    w = Window.partitionBy("content_sha256")
+    return (
+        corpus.select("doc_id", "content_sha256")
+        .withColumn("rep_id", F.min("doc_id").over(w))
+        .where(F.col("doc_id") != F.col("rep_id"))
+        .select("doc_id", "rep_id")
+    )
+
+
 def exact_dup_edges(
     corpus: DataFrame, persist: bool = False, cache_registry: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
@@ -99,14 +117,8 @@ def exact_dup_edges(
     re-ran the window in every tree and cost ~10% wall (the broadcast
     subquery is a serial stage, exactly what scaling efficiency punishes).
     """
-    w = Window.partitionBy("content_sha256")
-    slim = (
-        corpus.select("doc_id", "content_sha256")
-        .withColumn("rep_id", F.min("doc_id").over(w))
-    )
-    edges = (
-        slim.where(F.col("doc_id") != F.col("rep_id"))
-        .select(F.col("rep_id").alias("id_a"), F.col("doc_id").alias("id_b"))
+    edges = exact_dup_map(corpus).select(
+        F.col("rep_id").alias("id_a"), F.col("doc_id").alias("id_b")
     )
     if persist:
         from pyspark import StorageLevel
