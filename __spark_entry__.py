@@ -172,6 +172,48 @@ def _q_similarity_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_token_set_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 token-set kernel (reference ``tokenscore``, utils.py:187-201) over
+    blocked pairs — oracle-checked: Jaccard of distinct lowercase token
+    sets rescaled to [-1, 1]."""
+    from duplicatesuricate_spark.functions.kernels import token_score
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars", "text")
+    a, b = d.alias("a"), d.alias("b")
+    pairs = (
+        a.join(b, ["lang", "n_chars"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    return pairs.select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        F.round(token_score(F.col("a.text"), F.col("b.text")), 6).alias(
+            "text_tokenscore"
+        ),
+    )
+
+
+def _q_acronym_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 acronym kernel (reference ``compare_acronym``, utils.py:237-262)
+    over blocked pairs — oracle-checked: best of tokenscore(acronym(a), b)
+    and tokenscore(a, acronym(b)) when both acronyms have >= 3 chars."""
+    from duplicatesuricate_spark.functions.kernels import acronym_score
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars", "text")
+    a, b = d.alias("a"), d.alias("b")
+    pairs = (
+        a.join(b, ["lang", "n_chars"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    return pairs.select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        F.round(acronym_score(F.col("a.text"), F.col("b.text")), 6).alias(
+            "text_acronymscore"
+        ),
+    )
+
+
 def _q_pair_canonicalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A20 on a large table: canonical distinct (supp, part) pairs."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -466,6 +508,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocking_pairs": _q_blocking_pairs,
         "levenshtein_pairs": _q_levenshtein_pairs,
         "similarity_threshold": _q_similarity_threshold,
+        "token_set_pairs": _q_token_set_pairs,
+        "acronym_pairs": _q_acronym_pairs,
         "pair_canonicalization": _q_pair_canonicalization,
         "majority_vote": _q_majority_vote,
         "topk_window": _q_topk_window,
@@ -495,6 +539,35 @@ _GRAMS5 = f"""
 """
 
 _STOPWORDS = "['the','and','of','to','is','in','a','for','on','with','as','by']"
+
+
+def _sql_tokset(expr: str) -> str:
+    """Distinct lowercase token set of ``expr`` — mirrors
+    ``kernels._token_array`` (sort dropped: only set ops follow)."""
+    return (
+        f"list_distinct(list_filter(string_split_regex(lower({expr}), "
+        f"'[^a-z0-9_]+'), x -> x <> ''))"
+    )
+
+
+def _sql_acronym(expr: str) -> str:
+    """First char of each whitespace token — mirrors ``kernels.acronym_expr``."""
+    return (
+        f"array_to_string(list_transform(list_filter(string_split_regex("
+        f"{expr}, '\\s+'), x -> x <> ''), x -> substring(x, 1, 1)), '')"
+    )
+
+
+def _sql_tokscore(ta: str, tb: str) -> str:
+    """Jaccard of two token-set lists rescaled to [-1,1] — mirrors
+    ``kernels.token_score`` minus its null gate (applied by callers)."""
+    inter = f"len(list_intersect({ta}, {tb}))"
+    union = f"(len({ta}) + len({tb}) - {inter})"
+    jac = (
+        f"(case when {union} > 0 then {inter}::DOUBLE / {union}::DOUBLE "
+        f"else 0.0 end)"
+    )
+    return f"(({jac} * 100.0) / 50.0 - 1.0)"
 
 _LANG_CASE = """
       case when h_de >= h_en and h_de >= h_es and h_de >= h_fr then 'de'
@@ -628,6 +701,37 @@ def oracle_sql() -> dict[str, str]:
             )
             select * from s
             where greatest(source_exactscore, text_fuzzyscore) > 0.3
+        """,
+        "token_set_pairs": f"""
+            with t as (
+              select doc_id, lang, n_chars, text,
+                     {_sql_tokset('text')} as tk
+              from documents
+            )
+            select a.doc_id as id_a, b.doc_id as id_b,
+                   round(case when a.text is null or b.text is null then 0.0
+                              else {_sql_tokscore('a.tk', 'b.tk')} end, 6)
+                       as text_tokenscore
+            from t a join t b on a.lang = b.lang and a.n_chars = b.n_chars
+            where a.doc_id < b.doc_id
+        """,
+        "acronym_pairs": f"""
+            with t0 as (
+              select doc_id, lang, n_chars, text,
+                     {_sql_tokset('text')} as tk,
+                     {_sql_acronym('text')} as ac
+              from documents
+            ),
+            t as (select *, {_sql_tokset('ac')} as ak from t0)
+            select a.doc_id as id_a, b.doc_id as id_b,
+                   round(case when a.text is null or b.text is null
+                                or length(a.ac) < 3 or length(b.ac) < 3
+                              then 0.0
+                              else greatest({_sql_tokscore('a.ak', 'b.tk')},
+                                            {_sql_tokscore('a.tk', 'b.ak')})
+                         end, 6) as text_acronymscore
+            from t a join t b on a.lang = b.lang and a.n_chars = b.n_chars
+            where a.doc_id < b.doc_id
         """,
         "pair_canonicalization": """
             select distinct least(l_suppkey, l_partkey) as id_a,

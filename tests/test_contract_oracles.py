@@ -26,6 +26,9 @@ NEW_ORACLE_QUERIES = [
     "minhash_lsh_assignments",
     "exact_substring_pairs",
     "ann_lsh_recall",
+    # round 5: kernel queries promoted from tests-only to oracle-checked
+    "token_set_pairs",
+    "acronym_pairs",
 ]
 
 
@@ -57,6 +60,30 @@ def test_oracle_query_matches_duckdb(spark, oracle_con, name):
     odf = _canon(oracle_con.execute(entry.oracle_sql()[name]).df())
     assert list(sdf.columns) == list(odf.columns)
     assert len(sdf) == len(odf) and len(sdf) > 0
+    assert sdf.astype(str).equals(odf.astype(str))
+
+
+SF01_DIR = "/root/testdata/sf0.1"
+
+
+@pytest.mark.skipif(
+    not os.path.exists(f"{SF01_DIR}/lineitem.parquet"),
+    reason="sf0.1 test data not present",
+)
+def test_oracle_query_matches_duckdb_at_sf01(spark):
+    """Round-5 verdict item 7: one contract query exercised at 10x the
+    driver's oracle scale (sf0.1, ~600k lineitem rows) so scale-dependent
+    planning regressions surface in the test loop, not only in bench."""
+    con = duckdb.connect()
+    con.execute(
+        f"create view lineitem as select * from '{SF01_DIR}/lineitem.parquet'"
+    )
+    sdf = _canon(
+        entry.queries()["pair_canonicalization"](spark, SF01_DIR).toPandas()
+    )
+    odf = _canon(con.execute(entry.oracle_sql()["pair_canonicalization"]).df())
+    assert list(sdf.columns) == list(odf.columns)
+    assert len(sdf) == len(odf) and len(sdf) > 50_000
     assert sdf.astype(str).equals(odf.astype(str))
 
 
