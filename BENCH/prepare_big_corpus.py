@@ -57,8 +57,28 @@ def main() -> None:
     chunks = spark.range(n_chunks).repartition(n_chunks)
     corpus = chunks.mapInPandas(make_generator(rows_per_chunk, 42), OUT_SCHEMA)
     corpus.write.mode("overwrite").parquet(out)
-    n = spark.read.parquet(out).count()
-    print(f"wrote {n} docs to {out}")
+    # Sidecar build manifest + content fingerprint.  The corpus depends on
+    # (n_docs, n_chunks, seed) — NOT just n_docs: rows_per_chunk changes
+    # every chunk's generated structure, so two builds of "2M docs" with
+    # different chunk counts have different near-dup statistics and
+    # different true pair counts (round 5 lost an afternoon rediscovering
+    # this after a gitignored corpus was regenerated with other defaults).
+    # The fingerprint is order-insensitive (bit_xor of a row hash), so any
+    # layout/repartitioning of the same content matches.
+    import json
+
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(out)
+    n, fp = df.agg(
+        F.count(F.lit(1)),
+        F.bit_xor(F.xxhash64("repo", "path", "commit", "content")),
+    ).first()
+    manifest = {"n_docs": n, "n_chunks": n_chunks, "seed": 42,
+                "rows_per_chunk": rows_per_chunk, "content_fingerprint": fp}
+    with open(out + ".manifest.json", "w") as f:
+        json.dump(manifest, f)
+    print(f"wrote {n} docs to {out}  manifest: {json.dumps(manifest)}")
     spark.stop()
 
 

@@ -36,7 +36,14 @@ def main() -> None:
     # readers never serialize on one fault handler.
     n = corpus.count()
     from pyspark.sql import functions as F
-    corpus.agg(F.sum(F.length("content"))).collect()
+    # the warm scan doubles as a content fingerprint (order-insensitive
+    # bit_xor of a row hash): every logged row is tied to the EXACT corpus
+    # content, not just its row count — corpus builds are parameterized by
+    # (n_docs, n_chunks, seed) and regenerating with different chunking
+    # yields a different corpus with a different true pair count
+    corpus_fp = corpus.agg(
+        F.bit_xor(F.xxhash64("repo", "path", "commit", "content"))
+    ).first()[0]
 
     t0 = time.monotonic()
     res = dedup_pipeline(corpus)
@@ -69,6 +76,7 @@ def main() -> None:
         # the log, and pair counts differ across kernel universes)
         "kernel_version": KERNEL_VERSION,
         "code_rev": rev,
+        "corpus_fingerprint": corpus_fp,
     }))
     spark.stop()
 
