@@ -29,11 +29,13 @@ from duplicatesuricate_spark.operators.similarity import (
     lsh_topk,
 )
 from duplicatesuricate_spark.operators.substring import exact_substring_pairs
+from duplicatesuricate_spark.operators.lsh import portable_simhash_pairs
 from duplicatesuricate_spark.operators.textqa import (
     fingerprints,
     language_id,
     ngram_jaccard_pairs,
     quality_scores,
+    repetition_signals,
     token_counts,
 )
 from duplicatesuricate_spark.sources.corpus import documents_as_corpus
@@ -118,6 +120,16 @@ def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_docs(spark, sf_dir), k=5, threshold=0.3, max_df=256)
+
+
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_signals(_docs(spark, sf_dir), k=3)
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return portable_simhash_pairs(
+        _docs(spark, sf_dir), k=3, bits=60, n_blocks=4, hamming_threshold=3
+    )
 
 
 def _q_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -505,6 +517,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": _q_language_id,
         "fingerprints": _q_fingerprints,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "repetition_signals": _q_repetition,
+        "simhash_hamming_pairs": _q_simhash_pairs,
         "blocking_pairs": _q_blocking_pairs,
         "levenshtein_pairs": _q_levenshtein_pairs,
         "similarity_threshold": _q_similarity_threshold,
@@ -670,6 +684,83 @@ def oracle_sql() -> dict[str, str]:
             join sizes sa on sa.doc_id = id_a
             join sizes sb on sb.doc_id = id_b
             where round(shared / (sa.n_grams + sb.n_grams - shared), 6) >= 0.3
+        """,
+        "repetition_signals": f"""
+            with toks as (select doc_id, {_TOKS} as t from documents),
+            tc as (
+              select doc_id, tok, count(*) as c
+              from (select doc_id, unnest(t) as tok from toks)
+              group by 1, 2
+            ),
+            freq as (
+              select doc_id, sum(c)::BIGINT as n, count(*)::BIGINT as n_uniq,
+                     max(c)::BIGINT as top
+              from tc group by 1
+            ),
+            gram as (
+              select doc_id,
+                     case when len(t) >= 3
+                          then list_transform(range(1, len(t) - 1),
+                                              i -> array_to_string(t[i:i+2], ' '))
+                          else null end as g
+              from toks
+            )
+            select toks.doc_id,
+                   coalesce(f.n, 0) as n_tokens,
+                   case when coalesce(f.n, 0) > 0
+                        then round(f.n_uniq / f.n, 6) else 0.0 end
+                       as unique_token_ratio,
+                   case when coalesce(f.n, 0) > 0
+                        then round(f.top / f.n, 6) else 0.0 end
+                       as top_token_frac,
+                   case when gram.g is not null
+                        then round(1.0 - len(list_distinct(gram.g)) / len(gram.g), 6)
+                        else 0.0 end as dup_gram_frac
+            from toks
+            join gram using (doc_id)
+            left join freq f on f.doc_id = toks.doc_id
+        """,
+        "simhash_hamming_pairs": f"""
+            with toks as (select doc_id, {_TOKS} as t from documents),
+            grams as (
+              select doc_id,
+                     case when len(t) >= 3
+                          then list_transform(range(1, len(t) - 1),
+                                              i -> array_to_string(t[i:i+2], ' '))
+                          else [coalesce(array_to_string(t, ' '), '')] end as g
+              from toks
+            ),
+            hs as (
+              select doc_id,
+                     list_transform(g, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)
+                         as h
+              from grams
+            ),
+            sh as (
+              select doc_id,
+                     list_reduce(
+                       list_transform(range(0, 60), b ->
+                         case when 2 * len(list_filter(h, x -> ((x >> b) & 1) = 1))
+                                  > len(h)
+                              then (1::BIGINT << b) else 0::BIGINT end),
+                       (a, b) -> a + b) as simhash
+              from hs
+            ),
+            blocks as (
+              select doc_id, simhash, j, (simhash >> (15 * j)) & 32767 as blk
+              from sh, unnest(range(0, 4)) as u(j)
+            ),
+            cand as (
+              select distinct a.doc_id as id_a, b.doc_id as id_b
+              from blocks a
+              join blocks b on a.j = b.j and a.blk = b.blk and a.doc_id < b.doc_id
+            )
+            select c.id_a, c.id_b,
+                   bit_count(xor(sa.simhash, sb.simhash))::INT as hamming
+            from cand c
+            join sh sa on sa.doc_id = c.id_a
+            join sh sb on sb.doc_id = c.id_b
+            where bit_count(xor(sa.simhash, sb.simhash)) <= 3
         """,
         "blocking_pairs": """
             select a.doc_id as id_a, b.doc_id as id_b

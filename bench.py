@@ -36,11 +36,13 @@ from duplicatesuricate_spark import get_spark  # noqa: E402
 from duplicatesuricate_spark.operators.dedup import dedup_pipeline  # noqa: E402
 from duplicatesuricate_spark.operators.similarity import brute_force_topk  # noqa: E402
 from duplicatesuricate_spark.operators.substring import exact_substring_pairs  # noqa: E402
+from duplicatesuricate_spark.operators.lsh import portable_simhash_pairs  # noqa: E402
 from duplicatesuricate_spark.operators.textqa import (  # noqa: E402
     fingerprints,
     language_id,
     ngram_jaccard_pairs,
     quality_scores,
+    repetition_signals,
     token_counts,
 )
 from duplicatesuricate_spark.sources.corpus import documents_as_corpus  # noqa: E402
@@ -109,11 +111,23 @@ def main() -> None:
         exact_substring_pairs(corpus, cache_registry=owned).count()
         return drain(owned)
 
+    # round 5 additions — new keys, so r1-r4 totals stay comparable on the
+    # original five (see BENCH/BASELINE.md "suite composition")
+    def run_repetition():
+        repetition_signals(docs).count()
+        return None
+
+    def run_simhash():
+        portable_simhash_pairs(docs).count()
+        return None
+
     run("dedup_pipeline", run_dedup)
     run("text_suite", run_text_suite)
     run("ngram_jaccard", run_ngram)
     run("ann_topk", run_ann)
     run("exact_substring", run_substring)
+    run("repetition", run_repetition)
+    run("simhash_pairs", run_simhash)
 
     timings = {k: min(v) for k, v in samples.items()}
     medians = {k: round(statistics.median(v), 3) for k, v in samples.items()}

@@ -22,3 +22,24 @@ def ensure_min_partitions(df: DataFrame, target: int | None = None) -> DataFrame
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+def persist_level():
+    """Storage level for the pipeline's big intermediate tables (sketches,
+    band buckets, chunk hashes, pair sets).
+
+    Default DISK_ONLY: serialized columnar blocks on the executor's local
+    dirs, recomputable from lineage on executor loss, zero pressure on the
+    unified memory region.  ``SPARK_GRAFT_PERSIST_LEVEL`` overrides (any
+    ``pyspark.StorageLevel`` attribute name, e.g. MEMORY_AND_DISK) — on
+    hosts where local dirs are tmpfs and fresh page allocation is the
+    bottleneck, keeping blocks in storage memory (already-committed heap
+    pages) avoids that path entirely; the unified memory manager evicts
+    overflow to disk, so the failure mode is the default's behavior.
+    """
+    import os
+
+    from pyspark import StorageLevel
+
+    name = os.environ.get("SPARK_GRAFT_PERSIST_LEVEL", "DISK_ONLY")
+    return getattr(StorageLevel, name)

@@ -172,15 +172,13 @@ def dedup_pipeline(
     )
     stage_walls: dict[str, int] = {}
     if persist:
-        # DISK_ONLY, not MEMORY_AND_DISK: the sketch table is the job's
-        # biggest intermediate (token hashes + shingles + minhash per doc);
-        # unrolling it deserialized into the MemoryStore under full task
-        # concurrency destabilizes the heap, while serialized disk blocks
-        # (local dirs are tmpfs/SSD) read back at near-memory speed and
-        # recompute from lineage on executor loss
-        from pyspark import StorageLevel
+        # the sketch table is the job's biggest intermediate (token hashes
+        # + shingles + minhash per doc); blocks are columnar-serialized
+        # either way and recompute from lineage on executor loss — see
+        # persist_level() for the DISK_ONLY default and the override
+        from duplicatesuricate_spark.functions.util import persist_level
 
-        sketched = sketched.persist(StorageLevel.DISK_ONLY)
+        sketched = sketched.persist(persist_level())
         owned.append(sketched)
         # materialize the persist NOW, timed: the count is work the first
         # downstream action would have paid anyway (the blocks must fill),
@@ -239,9 +237,7 @@ def dedup_pipeline(
         )
     )
     if persist:
-        from pyspark import StorageLevel
-
-        all_pairs = all_pairs.persist(StorageLevel.DISK_ONLY)
+        all_pairs = all_pairs.persist(persist_level())
         owned.append(all_pairs)
         import time as _time
 

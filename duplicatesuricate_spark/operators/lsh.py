@@ -129,11 +129,11 @@ def candidate_pairs(
         # re-executes the 22-band explode + exchange + window — measured
         # at 1M docs/local[8] that made candidate generation the single
         # most expensive stage (~121 s); persisting the ~10x-reduced
-        # table runs it once (~17 s).  DISK_ONLY for the same reason as
-        # the sketch table: executor-local, lineage-recoverable.
-        from pyspark import StorageLevel
+        # table runs it once (~17 s).  Same storage policy as the sketch
+        # table: executor-local, lineage-recoverable (persist_level()).
+        from duplicatesuricate_spark.functions.util import persist_level
 
-        tagged = tagged.persist(StorageLevel.DISK_ONLY)
+        tagged = tagged.persist(persist_level())
         if cache_registry is not None:
             cache_registry.append(tagged)
 
@@ -215,4 +215,119 @@ def candidate_pairs(
         )
         .where(F.col("id_a") != F.col("id_b"))
         .distinct()
+    )
+
+
+def portable_simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    bits: int = 60,
+) -> DataFrame:
+    """(doc_id, simhash): ``bits``-bit SimHash over k-gram token shingles
+    with an engine-portable md5-derived gram hash (see
+    ``portable_simhash_pairs`` for the full semantics and the scale
+    notes).  Exposed separately so tests can compare the block join against
+    an exhaustive hamming join on the same signatures."""
+    from duplicatesuricate_spark.operators.textqa import tokens
+
+    t = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
+    toks = F.col("toks")
+    n = F.size(toks)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    gram_hashes = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
+    )
+    # per-bit majority folded into one long: shift amounts are data
+    # (the aggregate lambda's bit index), which the Column API's
+    # shiftright(col, int) can't express -- SQL shiftright(col, col) can
+    return t.select("doc_id", gram_hashes.alias("hs")).select(
+        "doc_id",
+        F.expr(
+            f"""aggregate(sequence(0, {bits - 1}), cast(0 as bigint),
+                (acc, b) -> acc + IF(
+                    2 * size(filter(hs, x -> (shiftright(x, b) & 1) = 1)) > size(hs),
+                    shiftleft(cast(1 as bigint), b), cast(0 as bigint)))"""
+        ).alias("simhash"),
+    )
+
+
+def portable_simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    bits: int = 60,
+    n_blocks: int = 4,
+    hamming_threshold: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs with an ENGINE-PORTABLE hash — the
+    oracle-checkable cousin of the kernel SimHash (``sketch.py``'s fused
+    Arrow pass), exactly as ``textqa.ngram_jaccard_pairs`` is the
+    oracle-checkable cousin of the MinHash path.
+
+    Semantics (Charikar 2002; Manku et al., WWW'07 block scheme):
+      * per doc: k-gram token shingles, each hashed to ``bits`` bits via
+        md5 (identical bytes in Spark and DuckDB — the production kernel's
+        seeded numpy hash is faster but not SQL-reproducible);
+      * simhash bit b = majority of gram-hash bit b (strictly-more-ones);
+      * candidate generation: split the ``bits``-bit simhash into
+        ``n_blocks`` equal blocks and self-join per block — the pigeonhole
+        guarantee is EXACT recall for hamming <= n_blocks - 1, so the
+        default (4 blocks, threshold 3) misses nothing;
+      * verify: bit_count(xor) <= hamming_threshold.
+
+    Scale: the block join is the standard 4-table scheme; docs sharing a
+    block are the only pairs materialized.  Hot blocks (boilerplate) have
+    the same O(m^2) failure mode as hot minhash bands — production traffic
+    should flow through ``candidate_pairs``'s tiered caps; this operator
+    is the contract/demo surface for the SimHash semantics.  Everything is
+    whole-stage-codegen Column/SQL expressions (md5, aggregate/filter
+    lambdas, shiftright) — no Python in the plan.
+
+    hamming_threshold must be <= n_blocks - 1 (the pigeonhole bound);
+    larger values would silently under-recall, so they are rejected.
+    """
+    if hamming_threshold > n_blocks - 1:
+        raise ValueError(
+            f"hamming_threshold={hamming_threshold} exceeds the pigeonhole "
+            f"recall bound for n_blocks={n_blocks} (max {n_blocks - 1})"
+        )
+    if bits % n_blocks != 0 or bits > 60:
+        raise ValueError("bits must be a multiple of n_blocks and <= 60 "
+                         "(15 hex chars of md5 keep the hash in a signed long)")
+    block_bits = bits // n_blocks
+    sh = portable_simhash(df, text_col=text_col, id_col=id_col, k=k, bits=bits)
+    blocks = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("j"),
+    ).withColumn(
+        "blk",
+        F.expr(f"shiftright(simhash, {block_bits} * j) & {(1 << block_bits) - 1}"),
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(b, ["j", "blk"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sim_a"))
+    sb = sh.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sim_b"))
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int")
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("hamming", hamming)
+        .where(F.col("hamming") <= hamming_threshold)
+        .select("id_a", "id_b", "hamming")
     )

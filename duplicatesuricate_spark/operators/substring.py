@@ -108,12 +108,12 @@ def substring_candidates(
     The chunk table is referenced four times (df-cap count, both join
     sides, per-doc sizes): materialize it once or token hashing dominates
     the whole pass."""
-    # persist(DISK_ONLY), not localCheckpoint: survives executor loss on a
-    # real cluster (partitions recompute from lineage; localCheckpoint
-    # blocks do not — round-1 verdict item 8)
-    from pyspark import StorageLevel
+    # persist, not localCheckpoint: survives executor loss on a real
+    # cluster (partitions recompute from lineage; localCheckpoint blocks
+    # do not — round-1 verdict item 8); level via persist_level()
+    from duplicatesuricate_spark.functions.util import persist_level
 
-    ch = chunk_hashes(corpus, cfg).persist(StorageLevel.DISK_ONLY)
+    ch = chunk_hashes(corpus, cfg).persist(persist_level())
     # cache ownership convention (see lsh.candidate_pairs): looping callers
     # unpersist this once the returned pairs are materialized
     if cache_registry is not None:

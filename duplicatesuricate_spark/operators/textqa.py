@@ -30,9 +30,15 @@ LANG_MARKERS: dict[str, list[str]] = {
 STOPWORDS = LANG_MARKERS["en"] + ["a", "for", "on", "with", "as", "by"]
 
 
-def _toks(text: Column | str) -> Column:
+def tokens(text: Column | str) -> Column:
+    """Lowercased ``TOKEN_RE`` token array — the shared tokenizer for every
+    oracle-checkable text operator (DuckDB mirrors it verbatim with
+    ``string_split_regex``)."""
     col = F.col(text) if isinstance(text, str) else text
     return F.filter(F.split(F.lower(col), TOKEN_RE), lambda t: t != F.lit(""))
+
+
+_toks = tokens
 
 
 def token_counts(df: DataFrame, text_col: str = "text",
@@ -132,6 +138,68 @@ def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         F.col(id_col),
         F.array_min(grams).alias("fingerprint"),
         n.alias("n_tokens"),
+    )
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021
+    §A1.1 "repetitious text" filters, adapted to this engine's tokenizer):
+
+      * ``unique_token_ratio`` — distinct tokens / total tokens;
+      * ``top_token_frac``     — occurrences of the most frequent token /
+        total tokens (the "fraction of tokens in the most common word");
+      * ``dup_gram_frac``      — 1 - distinct k-grams / total k-grams
+        (duplicate n-gram fraction), 0.0 for docs shorter than ``k``.
+
+    All ratios rounded to 6 decimals for oracle value-matching.
+
+    Scale: the k-gram signal is a pure array expression (no shuffle); the
+    token-frequency signals explode to a (doc_id, token) table and
+    aggregate twice on ``doc_id`` — linear in corpus size, partitioned by
+    doc, no joins wider than one row per document."""
+    t = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
+    toks = F.col("toks")
+    n = F.size(toks)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        ),
+    )
+    dup_gram = F.when(
+        grams.isNotNull(),
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(grams)).cast("double")
+            / F.size(grams).cast("double"),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    per_doc = t.select("doc_id", dup_gram.alias("dup_gram_frac"))
+    freq = (
+        t.select("doc_id", F.explode(toks).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n"),
+            F.count(F.lit(1)).alias("n_uniq"),
+            F.max("c").alias("top"),
+        )
+    )
+    nn = F.col("n")
+    return per_doc.join(freq, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(nn, F.lit(0).cast("long")).alias("n_tokens"),
+        F.when(nn > 0, F.round(F.col("n_uniq").cast("double") / nn, 6))
+        .otherwise(F.lit(0.0))
+        .alias("unique_token_ratio"),
+        F.when(nn > 0, F.round(F.col("top").cast("double") / nn, 6))
+        .otherwise(F.lit(0.0))
+        .alias("top_token_frac"),
+        "dup_gram_frac",
     )
 
 

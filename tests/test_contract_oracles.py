@@ -29,6 +29,9 @@ NEW_ORACLE_QUERIES = [
     # round 5: kernel queries promoted from tests-only to oracle-checked
     "token_set_pairs",
     "acronym_pairs",
+    # round 5: Gopher-style repetition signals + portable SimHash block join
+    "repetition_signals",
+    "simhash_hamming_pairs",
 ]
 
 

@@ -136,3 +136,88 @@ def test_embedding_near_dup_pairs(spark, vectors):
            embedding_near_dup_pairs(vectors, threshold=0.99, n_planes=6, dim=8).collect()}
     assert (0, 20) in got
     assert len(got) <= 3
+
+
+# --------------------------------------------- round 5: repetition + simhash
+
+
+def test_repetition_signals_known_values(spark):
+    from duplicatesuricate_spark.operators.textqa import repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a b"),          # 4 toks, 2 uniq, top=3; grams distinct
+            (2, "x y x y x y"),      # grams: xyx yxy xyx yxy -> dup 0.5
+            (3, ""),                 # empty -> zeros
+            (4, "one two"),          # shorter than k -> dup 0.0
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_signals(df, k=3).collect()}
+    assert got[1].n_tokens == 4
+    assert got[1].unique_token_ratio == 0.5
+    assert got[1].top_token_frac == 0.75
+    assert got[1].dup_gram_frac == 0.0
+    assert got[2].dup_gram_frac == 0.5
+    assert got[3].n_tokens == 0
+    assert got[3].unique_token_ratio == 0.0
+    assert got[3].top_token_frac == 0.0
+    assert got[3].dup_gram_frac == 0.0
+    assert got[4].dup_gram_frac == 0.0
+
+
+def test_portable_simhash_exact_dup_and_pigeonhole(spark):
+    from duplicatesuricate_spark.operators.lsh import portable_simhash_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),                      # exact dup -> hamming 0
+            (3, base + " tail drift word"), # near dup
+            (4, "completely different content about spark shuffles and joins"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {(r.id_a, r.id_b): r.hamming
+            for r in portable_simhash_pairs(df, hamming_threshold=3).collect()}
+    assert rows[(1, 2)] == 0
+    assert all(h <= 3 for h in rows.values())
+    # pigeonhole bound is enforced, not silently under-recalled
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        portable_simhash_pairs(df, n_blocks=4, hamming_threshold=4)
+
+
+def test_portable_simhash_exhaustive_recall(spark):
+    """Block-join recall vs the exhaustive O(n^2) hamming join on the same
+    signatures: the pigeonhole guarantee means EXACT recall for hamming <=
+    n_blocks - 1, so the pair sets must be identical, not just similar."""
+    import os
+
+    from duplicatesuricate_spark.operators.lsh import (
+        portable_simhash,
+        portable_simhash_pairs,
+    )
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    if not os.path.exists(path):
+        import pytest as _pytest
+
+        _pytest.skip("driver test data not present")
+    docs = spark.read.parquet(path)
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in portable_simhash_pairs(docs, hamming_threshold=3).collect()
+    }
+    sh = portable_simhash(docs).toPandas()
+    sigs = dict(zip(sh["doc_id"], sh["simhash"]))
+    ids = sorted(sigs)
+    want = {
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    assert got == want and len(want) > 0
