@@ -77,6 +77,11 @@ def main() -> None:
         "kernel_version": KERNEL_VERSION,
         "code_rev": rev,
         "corpus_fingerprint": corpus_fp,
+        # storage/JVM knobs under A/B (persist_level() env override and
+        # heap pre-touch) — rows from different configs must be separable
+        "persist_level": os.environ.get("SPARK_GRAFT_PERSIST_LEVEL",
+                                        "DISK_ONLY"),
+        "java_opts": os.environ.get("SPARK_DRIVER_JAVA_OPTS", ""),
     }))
     spark.stop()
 

@@ -266,6 +266,19 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic md5-ordered pivots, 8 cells, 3 probed —
+    the oracle replicates the same pivot/assign/probe algorithm, so the
+    match checks the ALGORITHM (not just recall against brute force)."""
+    from duplicatesuricate_spark.operators.similarity import ivf_topk
+
+    e = _emb(spark, sf_dir)
+    probes = e.where(F.col("vec_id") < 3)
+    return ivf_topk(e, probes, k=5, n_centroids=8, n_probe=3).select(
+        "probe_id", "vec_id", "cosine", "rank"
+    )
+
+
 # ---- sketch-pipeline queries, made oracle-checkable (round-3: these four
 # were rows-only `no_oracle` entries in round 2; each is now phrased so a
 # DuckDB brute-force oracle reproduces the EXACT output set) ----------------
@@ -533,6 +546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": _q_minhash_pairs,
         "exact_substring_pairs": _q_exact_substring,
         "ann_lsh_recall": _q_ann_lsh_recall,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "embedding_near_dup": _q_embedding_near_dup,
         "multimodal_features": _q_multimodal_features,
         "multimodal_frame_plan": _q_multimodal_frame_plan,
@@ -955,6 +969,57 @@ def oracle_sql() -> dict[str, str]:
               from s
             )
             select probe_id, vec_id, cosine, rank from r where rank <= 5
+        """,
+        "ann_ivf_topk": """
+            with piv as (
+              select vec_id as cid, embedding::DOUBLE[] as cvec
+              from embeddings
+              order by md5(cast(vec_id as varchar)), vec_id
+              limit 8
+            ),
+            e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+            ac as (
+              select e.vec_id, piv.cid,
+                     list_sum(list_transform(list_zip(e.v, piv.cvec),
+                                             z -> z[1] * z[2]))
+                     / (sqrt(list_sum(list_transform(e.v, x -> x*x)))
+                        * sqrt(list_sum(list_transform(piv.cvec, x -> x*x))))
+                         as ccos
+              from e cross join piv
+            ),
+            assign as (
+              select vec_id, cid from (
+                select vec_id, cid,
+                       row_number() over (partition by vec_id
+                                          order by ccos desc, cid asc) as rn
+                from ac) where rn = 1
+            ),
+            pc as (
+              select probe_id, cid from (
+                select a.vec_id as probe_id, a.cid,
+                       row_number() over (partition by a.vec_id
+                                          order by a.ccos desc, a.cid asc) as rn
+                from ac a where a.vec_id < 3) where rn <= 3
+            ),
+            s as (
+              select pc.probe_id, ass.vec_id,
+                     round(
+                       list_sum(list_transform(list_zip(pv.v, ev.v),
+                                               z -> z[1] * z[2]))
+                       / (sqrt(list_sum(list_transform(pv.v, x -> x*x)))
+                          * sqrt(list_sum(list_transform(ev.v, x -> x*x)))), 6)
+                         as cosine
+              from pc
+              join assign ass on ass.cid = pc.cid
+              join e ev on ev.vec_id = ass.vec_id
+              join e pv on pv.vec_id = pc.probe_id
+              where ass.vec_id <> pc.probe_id
+            )
+            select probe_id, vec_id, cosine, rank from (
+              select probe_id, vec_id, cosine,
+                     row_number() over (partition by probe_id
+                                        order by cosine desc, vec_id asc) as rank
+              from s) where rank <= 5
         """,
         "embedding_near_dup": """
             with e0 as (select vec_id, embedding from embeddings),

@@ -265,3 +265,117 @@ def embedding_near_dup_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+# ----------------------------------------------------------------- IVF ANN
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic IVF pivot selection: the ``n_centroids`` corpus
+    vectors whose ``md5(str(id))`` sorts first (ties by id).
+
+    Why pivots, not Lloyd iterations: the selection is a pure function of
+    the ids, so any engine (and the DuckDB oracle) reproduces the exact
+    same cells — k-means initialization/iteration order is not portable
+    across engines.  The md5 order is a uniform pseudo-random permutation,
+    so pivots are an unbiased sample of the corpus distribution, which is
+    the same guarantee k-means++ seeding starts from.
+
+    Scale: ``orderBy(md5).limit(n)`` compiles to TakeOrderedAndProject — a
+    distributed per-partition top-n plus a driver merge of n_centroids
+    rows per partition, NOT a global sort.  The collected pivot list is
+    O(n_centroids * dim) and is embedded into downstream plans as literals
+    (the broadcast-side of every IVF computation).
+    """
+    rows = (
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .orderBy(F.md5(F.col("cid").cast("string")), F.col("cid"))
+        .limit(n_centroids)
+        .collect()
+    )
+    return [(r.cid, [float(x) for x in r.cvec]) for r in rows]
+
+
+def _cell_structs(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+    """Array of (cosine-to-centroid, -cid) structs for argmax selection:
+    struct comparison is lexicographic, so array_max picks the highest
+    cosine and breaks ties toward the SMALLEST centroid id (matching the
+    oracle's ``order by cos desc, cid asc``)."""
+    return F.array(*[
+        F.struct(
+            cosine_expr(vec, F.array(*[F.lit(x) for x in cv])).alias("cos"),
+            F.lit(-cid).cast("long").alias("negcid"),
+        )
+        for cid, cv in centroids
+    ])
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k via an IVF (inverted-file) index — the
+    centroid-cell counterpart of ``lsh_topk`` (task brief: "an IVF or
+    LSH-bucketed variant as the scale path").
+
+    Index: every corpus vector is assigned to its nearest pivot cell
+    (``ivf_centroids``); each probe scans only its ``n_probe`` nearest
+    cells.  With ``n_probe == n_centroids`` the candidate set is the whole
+    corpus and the result equals ``brute_force_topk`` exactly (pinned by
+    test).
+
+    Scale: cell assignment is a map-side expression over broadcast pivot
+    literals (zero shuffle of the corpus — no N x C row blow-up through a
+    window); the probe->cell fan-out lives on the broadcast probe side;
+    the only wide operations are the equi-join on ``cell`` (bucketable /
+    storage-partitioned on a real cluster, where the assignment table is
+    written once and reused across query batches) and the per-probe top-k
+    window over candidates from n_probe cells (~n_probe/n_centroids of
+    the corpus, not all of it).  Returns (probe_id, vec_id, cosine, rank).
+    """
+    centroids = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    assigned = c.withColumn(
+        "cell", -F.array_max(_cell_structs(F.col("vec"), centroids))["negcid"]
+    )
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
+    )
+    probe_cells = p.withColumn(
+        "cell",
+        F.explode(
+            F.transform(
+                F.slice(
+                    F.sort_array(
+                        _cell_structs(F.col("probe_vec"), centroids), asc=False
+                    ),
+                    1,
+                    n_probe,
+                ),
+                lambda s: -s["negcid"],
+            )
+        ),
+    )
+    scored = (
+        assigned.join(F.broadcast(probe_cells), "cell")
+        .where(F.col("probe_id") != F.col("vec_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round(cosine_expr(F.col("probe_vec"), F.col("vec")), 6).alias("cosine"),
+        )
+    )
+    # no dedup: a corpus vector lives in exactly one cell and a probe's
+    # n_probe cells are distinct, so each (probe, vec) joins at most once
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -32,6 +32,8 @@ NEW_ORACLE_QUERIES = [
     # round 5: Gopher-style repetition signals + portable SimHash block join
     "repetition_signals",
     "simhash_hamming_pairs",
+    # round 5: deterministic-pivot IVF ANN (algorithm-replicating oracle)
+    "ann_ivf_topk",
 ]
 
 

@@ -221,3 +221,54 @@ def test_portable_simhash_exhaustive_recall(spark):
         if bin(sigs[a] ^ sigs[b]).count("1") <= 3
     }
     assert got == want and len(want) > 0
+
+
+# --------------------------------------------------------- round 5: IVF ANN
+
+
+def test_ivf_full_probe_equals_brute_force(spark, vectors):
+    """With n_probe == n_centroids every cell is scanned, so the IVF result
+    must EQUAL brute force — the exactness anchor for the approximate path."""
+    from duplicatesuricate_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    probes = vectors.where("vec_id < 2")
+    full = {tuple(r) for r in
+            ivf_topk(vectors, probes, k=4, n_centroids=4, n_probe=4).collect()}
+    bf = {tuple(r) for r in brute_force_topk(vectors, probes, k=4).collect()}
+    assert full == bf and len(bf) > 0
+
+
+def test_ivf_centroids_deterministic(spark, vectors):
+    from duplicatesuricate_spark.operators.similarity import ivf_centroids
+
+    a = ivf_centroids(vectors, n_centroids=4)
+    b = ivf_centroids(vectors, n_centroids=4)
+    assert a == b and len(a) == 4
+    # pivots are corpus members carrying their own vectors
+    ids = {r.vec_id for r in vectors.select("vec_id").collect()}
+    assert all(cid in ids and len(cv) > 0 for cid, cv in a)
+
+
+def test_ivf_partial_probe_is_subset_ranked(spark, vectors):
+    """n_probe < n_centroids scans a candidate subset: every returned row's
+    cosine must match brute force for that (probe, vec) pair, and ranks are
+    contiguous from 1 (a proper top-k over the scanned cells)."""
+    from duplicatesuricate_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    probes = vectors.where("vec_id < 2")
+    got = ivf_topk(vectors, probes, k=3, n_centroids=4, n_probe=2).collect()
+    bf = {(r.probe_id, r.vec_id): r.cosine
+          for r in brute_force_topk(vectors, probes, k=10**6).collect()}
+    assert len(got) > 0
+    by_probe: dict = {}
+    for r in got:
+        assert bf[(r.probe_id, r.vec_id)] == r.cosine
+        by_probe.setdefault(r.probe_id, []).append(r.rank)
+    for ranks in by_probe.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
