@@ -31,8 +31,24 @@ else:
 # launch (not once for the batch), and efficiency uses the MEDIAN of the
 # local[8] samples vs the local[2] sample — best-of-N vs best-of-1 biased
 # the ratio upward.
+#
+# round-5 fix: COOLDOWN between legs.  load1 decays with a 1-minute time
+# constant, so a leg launched right after the previous one finishes
+# carries the BATCH'S OWN load in its label (a 2-core leg after an
+# 8-core leg sampled 5.91 while the host was actually idle), and worse,
+# cross-day data shows ambient contention slows 8-core legs ~2x more
+# than 2-core legs — so per-leg quietness, not batch-start quietness, is
+# what the efficiency ratio needs.  Wait for the load to decay back
+# under the threshold (self + tenants indistinguishable, so just wait
+# out both) before each subsequent leg.
+legs = tuple(int(c) for c in (sys.argv[3].split(",") if len(sys.argv) > 3
+                              else ("8", "2", "8")))
 rows = []
-for cores in (8, 2, 8):
+for i, cores in enumerate(legs):
+    if i > 0:
+        cool_deadline = time.time() + 15 * 60
+        while os.getloadavg()[0] >= thresh and time.time() < cool_deadline:
+            time.sleep(20)
     load_now = round(os.getloadavg()[0], 2)
     out = subprocess.run(
         [sys.executable, os.path.join(HERE, "scaling_worker.py"),

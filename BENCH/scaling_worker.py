@@ -15,6 +15,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from duplicatesuricate_spark import get_spark  # noqa: E402
+from duplicatesuricate_spark.functions.util import (  # noqa: E402
+    persist_level_name,
+)
 from duplicatesuricate_spark.operators.dedup import dedup_pipeline  # noqa: E402
 from duplicatesuricate_spark.sources.corpus import with_doc_identity  # noqa: E402
 
@@ -77,11 +80,11 @@ def main() -> None:
         "kernel_version": KERNEL_VERSION,
         "code_rev": rev,
         "corpus_fingerprint": corpus_fp,
-        # storage/JVM knobs under A/B (persist_level() env override and
-        # heap pre-touch) — rows from different configs must be separable
-        "persist_level": os.environ.get("SPARK_GRAFT_PERSIST_LEVEL",
-                                        "DISK_ONLY"),
-        "java_opts": os.environ.get("SPARK_DRIVER_JAVA_OPTS", ""),
+        # storage/JVM knobs under A/B — report the EFFECTIVE values (code
+        # defaults unless env-overridden), so rows from different configs
+        # are separable even when the defaults change between rounds
+        "persist_level": persist_level_name(),
+        "java_opts": spark.conf.get("spark.driver.extraJavaOptions", ""),
     }))
     spark.stop()
 
