@@ -28,18 +28,27 @@ def persist_level():
     """Storage level for the pipeline's big intermediate tables (sketches,
     band buckets, chunk hashes, pair sets).
 
-    Default DISK_ONLY: serialized columnar blocks on the executor's local
-    dirs, recomputable from lineage on executor loss, zero pressure on the
-    unified memory region.  ``SPARK_GRAFT_PERSIST_LEVEL`` overrides (any
-    ``pyspark.StorageLevel`` attribute name, e.g. MEMORY_AND_DISK) — on
-    hosts where local dirs are tmpfs and fresh page allocation is the
-    bottleneck, keeping blocks in storage memory (already-committed heap
-    pages) avoids that path entirely; the unified memory manager evicts
-    overflow to disk, so the failure mode is the default's behavior.
+    Default MEMORY_AND_DISK (Spark's own Dataset.persist default): blocks
+    are columnar-serialized either way and recompute from lineage on
+    executor loss; keeping them in storage memory means reads hit
+    already-committed heap pages instead of faulting fresh tmpfs pages,
+    and the unified memory manager evicts overflow to disk — so the
+    failure mode IS the old DISK_ONLY behavior.  Round-5 2x2 A/B at 2M
+    docs / 8 cores (BENCH/BASELINE.md): with the pre-touched heap this is
+    the fastest cell (308 s vs 336 s DISK_ONLY); WITHOUT AlwaysPreTouch it
+    is the slowest (480 s — the same faults move into mid-query heap
+    growth), which is why the session default pins both together.
+    ``SPARK_GRAFT_PERSIST_LEVEL`` overrides (any ``pyspark.StorageLevel``
+    attribute name).
     """
-    import os
-
     from pyspark import StorageLevel
 
-    name = os.environ.get("SPARK_GRAFT_PERSIST_LEVEL", "DISK_ONLY")
-    return getattr(StorageLevel, name)
+    return getattr(StorageLevel, persist_level_name())
+
+
+def persist_level_name() -> str:
+    """The effective ``persist_level()`` as its StorageLevel attribute name
+    (benchmark rows log this so configs stay separable across rounds)."""
+    import os
+
+    return os.environ.get("SPARK_GRAFT_PERSIST_LEVEL", "MEMORY_AND_DISK")

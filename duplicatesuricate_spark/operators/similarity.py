@@ -196,12 +196,12 @@ def embedding_near_dup_pairs(
     # all four plan branches (small join x2, hot join x2, star tiers) from
     # the materialized table instead of re-running explode+window per
     # branch (same rationale and measurement as lsh.candidate_pairs)
-    from pyspark import StorageLevel
+    from duplicatesuricate_spark.functions.util import persist_level
 
     tagged = (
         b.withColumn("bucket_n", F.count(F.lit(1)).over(w))
         .filter(F.col("bucket_n") >= 2)
-        .persist(StorageLevel.DISK_ONLY)
+        .persist(persist_level())
     )
     # long-lived sessions calling this repeatedly (incremental merges) own
     # the cleanup: append the persisted table so the caller can unpersist

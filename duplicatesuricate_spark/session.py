@@ -89,13 +89,32 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "12g"))
-        # pin initial == max heap: this VM services first-touch page faults
-        # at ~40MB/s, globally serialized — a shrinking/regrowing heap
-        # refaults pages mid-job, and worse with more threads.  Committing
-        # once keeps the JVM on warm pages (G1 never shrinks below Xms).
+        # pin initial == max heap AND pre-touch it: this VM services
+        # first-touch page faults at ~40MB/s, globally serialized — a
+        # shrinking/regrowing heap refaults pages mid-job, and worse with
+        # more threads.  AlwaysPreTouch commits every heap page at JVM
+        # start (~10 s, once per executor lifetime, amortized across jobs
+        # on a real cluster) so no task ever faults a heap page mid-query:
+        # measured 417 s -> 336 s on the 2M-doc pipeline at 8 cores
+        # (BENCH/BASELINE.md round-5 A/B), and it is what makes
+        # MEMORY_AND_DISK persistence profitable (see persist_level()).
         .config(
             "spark.driver.extraJavaOptions",
-            os.environ.get("SPARK_DRIVER_JAVA_OPTS", "-Xms12g -XX:+UseParallelGC"),
+            os.environ.get(
+                "SPARK_DRIVER_JAVA_OPTS",
+                "-Xms12g -XX:+UseParallelGC -XX:+AlwaysPreTouch",
+            ),
+        )
+        # executors get the same GC + pre-touch treatment on a real
+        # cluster (ignored in local mode — there is no separate executor
+        # JVM).  No -Xms here: executor heap is already pinned by
+        # spark.executor.memory, and AlwaysPreTouch commits it at launch.
+        .config(
+            "spark.executor.extraJavaOptions",
+            os.environ.get(
+                "SPARK_EXECUTOR_JAVA_OPTS",
+                "-XX:+UseParallelGC -XX:+AlwaysPreTouch",
+            ),
         )
         # propagate the malloc tuning to executor-side Python workers on a
         # real cluster (local mode inherits the driver env)

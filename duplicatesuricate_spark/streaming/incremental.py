@@ -159,11 +159,11 @@ def incremental_dedup(
     # union below computes exactly these partitions) instead of re-running
     # the sketch kernel — and so the append never re-scans the sketches
     # dir it is writing into
-    from pyspark import StorageLevel
+    from duplicatesuricate_spark.functions.util import persist_level
 
     fresh_sk = with_full_sketches(
         fresh, cfg=cfg, project=["doc_id", "content_sha256"]
-    ).persist(StorageLevel.DISK_ONLY)
+    ).persist(persist_level())
     # the union is deliberately NOT persisted: persisting it would
     # materialize the ENTIRE historical sketch table (shingle arrays
     # included) — O(total corpus) I/O per merge, the opposite of
