@@ -126,6 +126,73 @@ def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_signals(_docs(spark, sf_dir), k=3)
 
 
+def _q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thresholds tightened vs the operator defaults so the verdict SPLITS
+    the synthetic corpus (~median unique-token ratio) — an all-true keep
+    column would be a vacuous contract check."""
+    from duplicatesuricate_spark.operators.textqa import gopher_filter
+
+    return gopher_filter(
+        _docs(spark, sf_dir), k=3, min_tokens=20, min_unique_token_ratio=0.45
+    )
+
+
+def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duplicatesuricate_spark.operators.textqa import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(spark, sf_dir), k=5, w=4)
+
+
+def _q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duplicatesuricate_spark.operators.textqa import unigram_nll
+
+    return unigram_nll(_docs(spark, sf_dir))
+
+
+def _q_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duplicatesuricate_spark.operators.sampling import deterministic_split
+
+    return deterministic_split(
+        _docs(spark, sf_dir).select("doc_id"),
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        salt=7,
+    )
+
+
+def _q_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination with the 'benchmark' drawn from the same
+    corpus by a deterministic 5% id-hash sample (salt 3) — the sampled
+    docs flag themselves and any train doc sharing an 8-gram (near-dups),
+    so both verdict values occur."""
+    from duplicatesuricate_spark.operators.sampling import deterministic_sample
+    from duplicatesuricate_spark.operators.textqa import ngram_decontaminate
+
+    docs = _docs(spark, sf_dir)
+    bench = deterministic_sample(docs, 0.05, salt=3)
+    return ngram_decontaminate(docs, bench, k=8)
+
+
+def _q_stratified_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duplicatesuricate_spark.operators.sampling import stratified_cap
+
+    return stratified_cap(
+        _docs(spark, sf_dir).select("doc_id", "lang"), "lang", cap=100
+    )
+
+
+def _q_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup report: distribution of near-dup cluster sizes from the full
+    MinHash-LSH pipeline (the B11 'report' operator as an oracle-checked
+    aggregate over the oracle-checked assignments)."""
+    a = _q_minhash_assignments(spark, sf_dir)
+    return (
+        a.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+    )
+
+
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return portable_simhash_pairs(
         _docs(spark, sf_dir), k=3, bits=60, n_blocks=4, hamming_threshold=3
@@ -531,6 +598,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": _q_fingerprints,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "repetition_signals": _q_repetition,
+        "gopher_filter": _q_gopher_filter,
+        "winnow_fingerprints": _q_winnow_fingerprints,
+        "unigram_nll": _q_unigram_nll,
+        "deterministic_split": _q_deterministic_split,
+        "ngram_decontaminate": _q_ngram_decontaminate,
+        "stratified_cap": _q_stratified_cap,
+        "cluster_size_histogram": _q_cluster_size_histogram,
         "simhash_hamming_pairs": _q_simhash_pairs,
         "blocking_pairs": _q_blocking_pairs,
         "levenshtein_pairs": _q_levenshtein_pairs,
@@ -567,6 +641,39 @@ _GRAMS5 = f"""
 """
 
 _STOPWORDS = "['the','and','of','to','is','in','a','for','on','with','as','by']"
+
+#: brute-force exact-Jaccard pairs -> recursive label-propagation CTEs,
+#: shared by the assignments oracle and the cluster-size-histogram report
+#: oracle (both read the final ``lbl`` relation)
+_ASSIGN_CTES = f"""
+            with recursive
+            g0 as (select doc_id, {_GRAMS5} as gs from documents),
+            gx as (select doc_id, unnest(gs) as gram from g0),
+            sizes as (select doc_id, count(*) as n from gx group by doc_id),
+            m as (
+              select a.doc_id as id_a, b.doc_id as id_b, count(*) as shared
+              from gx a join gx b using (gram)
+              where a.doc_id < b.doc_id
+              group by 1, 2
+            ),
+            p as (
+              select id_a, id_b
+              from m
+              join sizes sa on sa.doc_id = id_a
+              join sizes sb on sb.doc_id = id_b
+              where shared / (sa.n + sb.n - shared) >= 0.85
+            ),
+            e as (
+              select id_a as u, id_b as v from p
+              union all
+              select id_b as u, id_a as v from p
+            ),
+            lbl(doc_id, label) as (
+              select doc_id, doc_id from documents
+              union
+              select e.u, l.label from e join lbl l on l.doc_id = e.v
+            )
+"""
 
 
 def _sql_tokset(expr: str) -> str:
@@ -734,6 +841,163 @@ def oracle_sql() -> dict[str, str]:
             join gram using (doc_id)
             left join freq f on f.doc_id = toks.doc_id
         """,
+        "gopher_filter": f"""
+            with t as (
+              select doc_id, text, {_TOKS} as tk,
+                     length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                         as alpha_chars
+              from documents
+            ),
+            q as (
+              select doc_id,
+                     len(tk) as n_tokens,
+                     round(case when len(tk) > 0
+                                then alpha_chars / len(tk) else 0.0 end, 6)
+                         as mean_word_len,
+                     round(case when length(text) > 0
+                                then alpha_chars / length(text) else 0.0 end, 6)
+                         as alpha_ratio
+              from t
+            ),
+            tc as (
+              select doc_id, tok, count(*) as c
+              from (select doc_id, unnest(tk) as tok from t)
+              group by 1, 2
+            ),
+            freq as (
+              select doc_id, sum(c)::BIGINT as n, count(*)::BIGINT as n_uniq,
+                     max(c)::BIGINT as top
+              from tc group by 1
+            ),
+            gram as (
+              select doc_id,
+                     case when len(tk) >= 3
+                          then list_transform(range(1, len(tk) - 1),
+                                              i -> array_to_string(tk[i:i+2], ' '))
+                          else null end as g
+              from t
+            ),
+            r as (
+              select t.doc_id,
+                     round(case when coalesce(f.n, 0) > 0
+                                then f.n_uniq / f.n else 0.0 end, 6)
+                         as unique_token_ratio,
+                     round(case when coalesce(f.n, 0) > 0
+                                then f.top / f.n else 0.0 end, 6)
+                         as top_token_frac,
+                     case when gram.g is not null
+                          then round(1.0 - len(list_distinct(gram.g))
+                                     / len(gram.g), 6)
+                          else 0.0 end as dup_gram_frac
+              from t
+              join gram using (doc_id)
+              left join freq f on f.doc_id = t.doc_id
+            )
+            select q.doc_id,
+                   (q.n_tokens >= 20 and q.n_tokens <= 200000) as flag_len,
+                   (q.mean_word_len >= 2.0 and q.mean_word_len <= 12.0)
+                       as flag_word_len,
+                   (q.alpha_ratio >= 0.5) as flag_alpha,
+                   (r.top_token_frac <= 0.3) as flag_top_token,
+                   (r.unique_token_ratio >= 0.45) as flag_unique,
+                   (r.dup_gram_frac <= 0.5) as flag_dup_gram,
+                   (q.n_tokens >= 20 and q.n_tokens <= 200000
+                    and q.mean_word_len >= 2.0 and q.mean_word_len <= 12.0
+                    and q.alpha_ratio >= 0.5
+                    and r.top_token_frac <= 0.3
+                    and r.unique_token_ratio >= 0.45
+                    and r.dup_gram_frac <= 0.5) as keep
+            from q join r using (doc_id)
+        """,
+        "winnow_fingerprints": f"""
+            with t as (select doc_id, {_TOKS} as tk from documents),
+            g as (
+              select doc_id,
+                     case when len(tk) >= 5
+                          then [md5(array_to_string(tk[i:i+4], ' '))
+                                for i in range(1, len(tk) - 3)]
+                          else [md5(coalesce(array_to_string(tk, ' '), ''))]
+                     end as gr
+              from t
+            ),
+            s as (
+              select doc_id,
+                     case when len(gr) >= 4
+                          then list_distinct(
+                              [list_aggregate(gr[j:j+3], 'min')
+                               for j in range(1, len(gr) - 2)])
+                          else [list_aggregate(gr, 'min')]
+                     end as sel
+              from g
+            )
+            select doc_id, unnest(sel) as fingerprint from s
+        """,
+        "unigram_nll": f"""
+            with t as (
+              select doc_id, unnest({_TOKS}) as tok from documents
+            ),
+            v as (select tok, count(*) as c from t group by 1),
+            n as (select sum(c) as total from v),
+            d as (
+              select t.doc_id, count(*)::BIGINT as n_tokens,
+                     avg(ln(v.c)) as mlc
+              from t join v using (tok)
+              group by 1
+            )
+            select doc_id, n_tokens,
+                   round(ln((select total from n)) - mlc, 6) as unigram_nll
+            from d
+        """,
+        "deterministic_split": """
+            select doc_id,
+                   case when ((doc_id + 7) * 2654435761) % 4294967296
+                             % 10000 < 8000 then 'train'
+                        when ((doc_id + 7) * 2654435761) % 4294967296
+                             % 10000 < 9000 then 'val'
+                        else 'test' end as split
+            from documents
+        """,
+        "ngram_decontaminate": f"""
+            with t as (select doc_id, {_TOKS} as tk from documents),
+            g as (
+              select doc_id,
+                     case when len(tk) >= 8
+                          then list_distinct(
+                              [md5(array_to_string(tk[i:i+7], ' '))
+                               for i in range(1, len(tk) - 6)])
+                          else [md5(coalesce(array_to_string(tk, ' '), ''))]
+                     end as gr
+              from t
+            ),
+            bench as (
+              select doc_id from documents
+              where ((doc_id + 3) * 2654435761) % 4294967296 % 10000 < 500
+            ),
+            bg as (
+              select distinct unnest(gr) as gram
+              from g join bench using (doc_id)
+            ),
+            tg as (select doc_id, unnest(gr) as gram from g),
+            hits as (
+              select doc_id, count(*)::BIGINT as contaminated_grams
+              from tg join bg using (gram) group by 1
+            )
+            select d.doc_id,
+                   coalesce(h.contaminated_grams, 0)::BIGINT
+                       as contaminated_grams,
+                   coalesce(h.contaminated_grams, 0) > 0 as contaminated
+            from documents d left join hits h using (doc_id)
+        """,
+        "stratified_cap": """
+            select doc_id, lang from (
+              select doc_id, lang,
+                     row_number() over (
+                       partition by lang
+                       order by (doc_id * 2654435761) % 4294967296 % 10000,
+                                doc_id) as rn
+              from documents
+            ) where rn <= 100
+        """,
         "simhash_hamming_pairs": f"""
             with toks as (select doc_id, {_TOKS} as t from documents),
             grams as (
@@ -888,37 +1152,25 @@ def oracle_sql() -> dict[str, str]:
             where shared / (sa.n + sb.n - shared) >= 0.85
         """,
         "minhash_lsh_assignments": f"""
-            with recursive
-            g0 as (select doc_id, {_GRAMS5} as gs from documents),
-            gx as (select doc_id, unnest(gs) as gram from g0),
-            sizes as (select doc_id, count(*) as n from gx group by doc_id),
-            m as (
-              select a.doc_id as id_a, b.doc_id as id_b, count(*) as shared
-              from gx a join gx b using (gram)
-              where a.doc_id < b.doc_id
-              group by 1, 2
-            ),
-            p as (
-              select id_a, id_b
-              from m
-              join sizes sa on sa.doc_id = id_a
-              join sizes sb on sb.doc_id = id_b
-              where shared / (sa.n + sb.n - shared) >= 0.85
-            ),
-            e as (
-              select id_a as u, id_b as v from p
-              union all
-              select id_b as u, id_a as v from p
-            ),
-            lbl(doc_id, label) as (
-              select doc_id, doc_id from documents
-              union
-              select e.u, l.label from e join lbl l on l.doc_id = e.v
-            )
+            {_ASSIGN_CTES}
             select d.doc_id, sha256(d.text) as content_sha256,
                    min(l.label) as cluster_id
             from documents d join lbl l on l.doc_id = d.doc_id
             group by 1, 2
+        """,
+        "cluster_size_histogram": f"""
+            {_ASSIGN_CTES}
+            , asg as (
+              select d.doc_id, min(l.label) as cluster_id
+              from documents d join lbl l on l.doc_id = d.doc_id
+              group by 1
+            ),
+            cs as (
+              select cluster_id, count(*)::BIGINT as cluster_size
+              from asg group by 1
+            )
+            select cluster_size, count(*)::BIGINT as n_clusters
+            from cs group by 1
         """,
         "exact_substring_pairs": """
             with d as (select doc_id, text from documents

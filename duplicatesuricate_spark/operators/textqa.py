@@ -141,6 +141,144 @@ def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+def winnow_fingerprints(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 5,
+                        w: int = 4) -> DataFrame:
+    """Full winnowing (Schleimer et al., SIGMOD'03): md5 each k-gram token
+    window, slide a ``w``-gram window over those hashes, keep the minimum
+    of every window, and emit the document's DISTINCT selected hashes as
+    ``(doc_id, fingerprint)`` rows.  Generalizes :func:`fingerprints`
+    (which is the degenerate window-=-whole-doc case) to the local
+    fingerprints used for plagiarism/substring detection at scale: any
+    shared substring of at least ``k + w - 1`` tokens is guaranteed to
+    contribute at least one common fingerprint, so an equi-join on
+    ``fingerprint`` is a substring-candidate generator with a recall
+    guarantee — no pairwise comparison anywhere.
+
+    Pure Column expressions (codegen, no shuffle until the caller joins);
+    md5 (not xxhash64) so the DuckDB oracle reproduces exact values, with
+    ties broken by the hash's lexicographic order in both engines.  Docs
+    shorter than ``k`` tokens fingerprint their full token stream."""
+    t = df.select(F.col(id_col), _toks(text_col).alias("toks"))
+    toks = F.col("toks")
+    n = F.size(toks)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(k - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
+        ),
+    ).otherwise(F.array(F.md5(F.concat_ws(" ", toks))))
+    g = t.select(F.col(id_col), grams.alias("grams"))
+    gr = F.col("grams")
+    m = F.size(gr)
+    selected = F.when(
+        m >= w,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), m - F.lit(w - 1)),
+                lambda j: F.array_min(F.slice(gr, j, w)),
+            )
+        ),
+    ).otherwise(F.array(F.array_min(gr)))
+    return g.select(
+        F.col(id_col), F.explode(selected).alias("fingerprint")
+    )
+
+
+def unigram_nll(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Corpus-unigram negative log-likelihood per document — the CCNet-style
+    LM-quality proxy (Wenzek et al. 2020 score perplexity under a KenLM
+    model; with no external model allowed, the corpus's own unigram
+    distribution is the model): ``nll = ln(N) - avg(ln c(tok))`` where
+    ``c`` is the token's corpus frequency and ``N`` the corpus token count.
+    Low = stopword-ish/common text, high = rare-token text; pipelines
+    bucket on it to drop gibberish and boilerplate extremes.
+
+    Scale: one explode + two hash aggregations + one (token, count) join —
+    the vocabulary table is tiny relative to the corpus (heavy-tailed), so
+    AQE broadcast-joins it; the 1-row total is an explicit broadcast cross
+    join.  Docs with zero tokens drop out (inner semantics, mirrored by the
+    oracle).  Rounded to 6 dp for cross-engine value matching."""
+    toks = (
+        df.select(F.col(id_col), F.explode(_toks(text_col)).alias("tok"))
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("total"))
+    per_doc = (
+        toks.join(vocab, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg(F.log("c")).alias("_mean_log_c"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(total)).select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.round(F.log("total") - F.col("_mean_log_c"), 6).alias("unigram_nll"),
+    )
+
+
+def ngram_decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    k: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix C / PaLM style): flag every
+    training document that shares at least one ``k``-gram with a held-out
+    benchmark set, so evaluation data can be dropped from training.
+
+    Returns one row per training doc: ``(doc_id, contaminated_grams,
+    contaminated)`` where ``contaminated_grams`` counts the doc's DISTINCT
+    k-grams that appear anywhere in ``bench``.
+
+    Scale: the benchmark gram set is tiny relative to a 10^12-file corpus
+    (benchmarks are thousands of docs), so it is broadcast by default and
+    the train side never shuffles — one map-side explode + broadcast-hash
+    semi-aggregation.  Set ``broadcast_bench=False`` for a huge bench set
+    (falls back to a shuffle join; AQE still broadcasts if it measures
+    small).  Docs shorter than ``k`` tokens gram their full token stream
+    (same fallback as :func:`fingerprints`), so a short doc is flagged only
+    by an exact full-text token match."""
+    def doc_grams(df_: DataFrame) -> DataFrame:
+        t = df_.select(F.col(id_col), _toks(text_col).alias("toks"))
+        toks = F.col("toks")
+        n = F.size(toks)
+        grams = F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(1), n - F.lit(k - 1)),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
+            ),
+        ).otherwise(F.array(F.md5(F.concat_ws(" ", toks))))
+        return t.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(grams)).alias("gram"),
+        )
+
+    bgrams = doc_grams(bench).select("gram").distinct()
+    if broadcast_bench:
+        bgrams = F.broadcast(bgrams)
+    hits = (
+        doc_grams(train)
+        .join(bgrams, "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("contaminated_grams"))
+    )
+    return train.select(id_col).join(hits, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("contaminated_grams"), F.lit(0).cast("long"))
+        .alias("contaminated_grams"),
+        (F.coalesce(F.col("contaminated_grams"), F.lit(0)) > 0)
+        .alias("contaminated"),
+    )
+
+
 def repetition_signals(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", k: int = 3) -> DataFrame:
     """Gopher-style within-document repetition signals (Rae et al. 2021
@@ -203,6 +341,60 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
     )
 
 
+def gopher_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 10,
+    max_tokens: int = 200_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    min_alpha_ratio: float = 0.5,
+    max_top_token_frac: float = 0.3,
+    min_unique_token_ratio: float = 0.2,
+    max_dup_gram_frac: float = 0.5,
+    k: int = 3,
+) -> DataFrame:
+    """Composite Gopher-rules document filter (Rae et al. 2021 §A1.1):
+    one boolean flag per rule over the ``quality_scores`` and
+    ``repetition_signals`` features, plus the conjunction ``keep``.
+
+    Flags compare the ROUNDED (6 dp) ratios the feature operators emit, so
+    the verdict is exactly reproducible by the DuckDB oracle (an unrounded
+    value straddling a threshold at the 7th digit would otherwise flip
+    between engines).
+
+    Scale: two linear per-doc feature passes joined on ``doc_id`` — the
+    join is doc-to-doc 1:1 (AQE turns it into a local join after the
+    repetition aggregation's exchange); no pair blow-up anywhere.
+    Returns (doc_id, 6 flag booleans, keep)."""
+    q = quality_scores(df, text_col=text_col, id_col=id_col).select(
+        id_col, "n_tokens", "mean_word_len", "alpha_ratio"
+    )
+    r = repetition_signals(df, text_col=text_col, id_col=id_col, k=k).select(
+        id_col, "unique_token_ratio", "top_token_frac", "dup_gram_frac"
+    )
+    j = q.join(r, id_col)
+    flags = {
+        "flag_len": (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens),
+        "flag_word_len": (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len),
+        "flag_alpha": F.col("alpha_ratio") >= min_alpha_ratio,
+        "flag_top_token": F.col("top_token_frac") <= max_top_token_frac,
+        "flag_unique": F.col("unique_token_ratio") >= min_unique_token_ratio,
+        "flag_dup_gram": F.col("dup_gram_frac") <= max_dup_gram_frac,
+    }
+    keep = None
+    for c in flags.values():
+        keep = c if keep is None else (keep & c)
+    return j.select(
+        F.col(id_col),
+        *[c.alias(n) for n, c in flags.items()],
+        keep.alias("keep"),
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -241,14 +433,15 @@ def ngram_jaccard_pairs(
             lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
         ),
     ).otherwise(F.array(F.md5(F.concat_ws(" ", toks))))
-    # persist(DISK_ONLY), not localCheckpoint: localCheckpoint blocks are
-    # lost on executor failure mid-job on a real cluster, while persisted
-    # partitions recompute from lineage (round-1 verdict item 8)
-    from pyspark import StorageLevel
+    # persist, not localCheckpoint: localCheckpoint blocks are lost on
+    # executor failure mid-job on a real cluster, while persisted
+    # partitions recompute from lineage (round-1 verdict item 8); level
+    # via persist_level()
+    from duplicatesuricate_spark.functions.util import persist_level
 
     g = t.select(
         "doc_id", F.explode(F.array_distinct(grams)).alias("gram")
-    ).persist(StorageLevel.DISK_ONLY)
+    ).persist(persist_level())
     # hand the persisted gram table to callers that loop (cache ownership
     # convention, see lsh.candidate_pairs)
     if cache_registry is not None:

@@ -34,6 +34,16 @@ NEW_ORACLE_QUERIES = [
     "simhash_hamming_pairs",
     # round 5: deterministic-pivot IVF ANN (algorithm-replicating oracle)
     "ann_ivf_topk",
+    # round 5: composite Gopher-rules keep/drop verdict
+    "gopher_filter",
+    # round 5: winnowing local fingerprints, corpus-unigram NLL quality,
+    # deterministic splits, and the cluster-size-histogram dedup report
+    "winnow_fingerprints",
+    "unigram_nll",
+    "deterministic_split",
+    "cluster_size_histogram",
+    "ngram_decontaminate",
+    "stratified_cap",
 ]
 
 

@@ -272,3 +272,167 @@ def test_ivf_partial_probe_is_subset_ranked(spark, vectors):
         by_probe.setdefault(r.probe_id, []).append(r.rank)
     for ranks in by_probe.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+# ----------------------------------------------------- round 5: gopher filter
+
+
+def test_gopher_filter_flags_and_keep(spark):
+    from duplicatesuricate_spark.operators.textqa import gopher_filter
+
+    good = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away to find some other interesting place to sleep")
+    df = spark.createDataFrame(
+        [
+            (1, good),                          # passes everything
+            (2, "word " * 200),                 # one token repeated -> fails
+            (3, "hi"),                          # too short
+            (4, "1 2 3 4 5 6 7 8 9 10 11 12"),  # digits: alpha_ratio ~ 0
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in gopher_filter(df).collect()}
+    assert got[1].keep
+    assert not got[2].keep and not got[2].flag_unique
+    assert not got[3].keep and not got[3].flag_len
+    assert not got[4].keep and not got[4].flag_alpha
+    # keep is exactly the conjunction of the six flags
+    for r in got.values():
+        assert r.keep == (r.flag_len and r.flag_word_len and r.flag_alpha
+                          and r.flag_top_token and r.flag_unique
+                          and r.flag_dup_gram)
+
+
+# --------------------------------------- round 5: winnowing + unigram NLL
+
+
+def test_winnow_fingerprints_guarantee(spark):
+    """Winnowing's contract: docs sharing a run of >= k + w - 1 tokens
+    share at least one fingerprint; fingerprints are distinct per doc."""
+    from duplicatesuricate_spark.operators.textqa import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    df = spark.createDataFrame(
+        [
+            (1, "one two three " + shared + " four five six"),
+            (2, "seven eight " + shared + " nine ten"),
+            (3, "completely different words with no overlap at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    fp = winnow_fingerprints(df, k=5, w=4).collect()
+    by_doc = {}
+    for r in fp:
+        by_doc.setdefault(r.doc_id, []).append(r.fingerprint)
+    for d, fps in by_doc.items():
+        assert len(fps) == len(set(fps)), "fingerprints must be distinct"
+    assert set(by_doc[1]) & set(by_doc[2]), "shared 8-token run -> shared fp"
+    assert not (set(by_doc[3]) & (set(by_doc[1]) | set(by_doc[2])))
+
+
+def test_winnow_short_doc_falls_back_to_whole_doc(spark):
+    from duplicatesuricate_spark.operators.textqa import winnow_fingerprints
+
+    df = spark.createDataFrame([(1, "just three tokens")],
+                               "doc_id long, text string")
+    fp = winnow_fingerprints(df, k=5, w=4).collect()
+    assert len(fp) == 1
+
+
+def test_unigram_nll_orders_common_vs_rare(spark):
+    """A doc of corpus-frequent tokens scores lower NLL than a doc of
+    corpus-unique tokens; empty docs drop out (inner semantics)."""
+    from duplicatesuricate_spark.operators.textqa import unigram_nll
+
+    df = spark.createDataFrame(
+        [
+            (1, "the the the the cat"),
+            (2, "the cat sat on the mat"),
+            (3, "xylophone quixotic zephyr"),
+            (4, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in unigram_nll(df).collect()}
+    assert 4 not in rows
+    assert rows[1].unigram_nll < rows[3].unigram_nll
+    assert rows[1].n_tokens == 5
+
+
+# ------------------------------------------- round 5: deterministic split
+
+
+def test_deterministic_split_proportions_and_stability(spark):
+    from duplicatesuricate_spark.operators.sampling import (
+        deterministic_sample,
+        deterministic_split,
+    )
+
+    df = spark.range(0, 20_000).withColumnRenamed("id", "doc_id")
+    s = deterministic_split(df, {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r.split: r.n for r in
+              s.groupBy("split").count().withColumnRenamed("count", "n")
+              .collect()}
+    assert abs(counts["train"] / 20_000 - 0.8) < 0.02
+    assert abs(counts["val"] / 20_000 - 0.1) < 0.01
+    assert abs(counts["test"] / 20_000 - 0.1) < 0.01
+    # stability: a doc's split is a pure function of its id — growing the
+    # corpus or repartitioning never reassigns existing docs
+    small = {r.doc_id: r.split
+             for r in deterministic_split(
+                 spark.range(0, 1_000).withColumnRenamed("id", "doc_id"),
+                 {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    big = {r.doc_id: r.split for r in s.repartition(13).collect()}
+    assert all(big[i] == small[i] for i in small)
+    # sample(f) keeps a subset of sample(f') for f < f' (nested subsets)
+    s10 = {r.doc_id for r in deterministic_sample(df, 0.1).collect()}
+    s25 = {r.doc_id for r in deterministic_sample(df, 0.25).collect()}
+    assert s10 < s25
+    assert abs(len(s10) / 20_000 - 0.1) < 0.01
+
+
+# ------------------------------------ round 5: decontamination + quota cap
+
+
+def test_ngram_decontaminate_flags_overlap(spark):
+    from duplicatesuricate_spark.operators.textqa import ngram_decontaminate
+
+    leak = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    train = spark.createDataFrame(
+        [
+            (1, "prefix words " + leak + " suffix words"),
+            (2, "totally unrelated training document with clean text"),
+            (3, leak),  # exact benchmark doc in the training set
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, leak)], "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           ngram_decontaminate(train, bench, k=8).collect()}
+    assert got[1].contaminated and got[1].contaminated_grams > 0
+    assert not got[2].contaminated and got[2].contaminated_grams == 0
+    assert got[3].contaminated
+    assert len(got) == 3, "one verdict row per training doc"
+
+
+def test_stratified_cap_quota_and_determinism(spark):
+    from duplicatesuricate_spark.operators.sampling import stratified_cap
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 90 else "small") for i in range(100)],
+        "doc_id long, grp string",
+    )
+    capped = stratified_cap(df, "grp", cap=20, id_col="doc_id")
+    counts = {r.grp: r.n for r in capped.groupBy("grp")
+              .count().withColumnRenamed("count", "n").collect()}
+    assert counts == {"big": 20, "small": 10}
+    # survivors are a pure function of (id, salt): repartitioning never
+    # changes the selection
+    a = sorted(r.doc_id for r in capped.collect())
+    b = sorted(r.doc_id for r in
+               stratified_cap(df.repartition(7), "grp", 20).collect())
+    assert a == b
+    # a different salt draws a different (but equally sized) sample
+    c = sorted(r.doc_id for r in
+               stratified_cap(df, "grp", 20, salt=9).collect())
+    assert len(c) == len(a) and c != a
