@@ -25,6 +25,18 @@ from duplicatesuricate_spark.sources.corpus import with_doc_identity  # noqa: E4
 def main() -> None:
     cores = int(sys.argv[1])
     corpus_path = sys.argv[2]
+    # pin the WHOLE process tree (JVM + pyspark daemons, which inherit the
+    # affinity mask) to `cores` CPUs: without this, local[N] caps only the
+    # task slots while the JVM sizes its GC/JIT/netty pools to the HOST's
+    # 32 CPUs — a "2-core" leg was observed running the JVM at ~386% CPU,
+    # i.e. borrowing up to 23 ParallelGC threads, which inflates local[2]
+    # throughput and systematically UNDERSTATES eff(2->8).  A real N-core
+    # executor host has only N CPUs for everything; sched_setaffinity is
+    # that, and Runtime.availableProcessors honors it so every JVM pool
+    # auto-sizes to the cap.  SPARK_GRAFT_PIN_CPUS=0 opts out (pre-round-5
+    # rows were measured unpinned).
+    if os.environ.get("SPARK_GRAFT_PIN_CPUS", "1") != "0":
+        os.sched_setaffinity(0, set(range(cores)))
     spark = get_spark(app_name=f"scaling-{cores}", cores=cores,
                       shuffle_partitions=cores * 2)
     corpus = with_doc_identity(spark.read.parquet(corpus_path))
@@ -85,6 +97,9 @@ def main() -> None:
         # are separable even when the defaults change between rounds
         "persist_level": persist_level_name(),
         "java_opts": spark.conf.get("spark.driver.extraJavaOptions", ""),
+        # CPUs this process tree may actually use (see pin above) — rows
+        # measured unpinned (< round 5) lack this field
+        "cpuset": len(os.sched_getaffinity(0)),
     }))
     spark.stop()
 

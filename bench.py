@@ -69,13 +69,19 @@ def main() -> None:
         the repeat is a genuine re-execution at no measured cost."""
         samples[name] = []
         loads[name] = []
-        for _ in range(n_runs):
+        for i in range(n_runs):
             loads[name].append(round(os.getloadavg()[0], 2))
             t0 = time.monotonic()
             cleanup = fn()
             samples[name].append(round(time.monotonic() - t0, 3))
             if cleanup is not None:
                 cleanup()
+            # progress to stderr (stdout stays ONE json line): a hung or
+            # pathologically slow query is identifiable without waiting
+            # for the suite to finish
+            print(f"[bench] {name} run {i + 1}/{n_runs}: "
+                  f"{samples[name][-1]}s (load1 {loads[name][-1]})",
+                  file=sys.stderr, flush=True)
 
     corpus = documents_as_corpus(spark, sf_dir)
 
@@ -118,8 +124,9 @@ def main() -> None:
         return None
 
     def run_simhash():
-        portable_simhash_pairs(docs).count()
-        return None
+        owned: list = []
+        portable_simhash_pairs(docs, cache_registry=owned).count()
+        return drain(owned)
 
     run("dedup_pipeline", run_dedup)
     run("text_suite", run_text_suite)

@@ -268,6 +268,7 @@ def portable_simhash_pairs(
     bits: int = 60,
     n_blocks: int = 4,
     hamming_threshold: int = 3,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs with an ENGINE-PORTABLE hash — the
     oracle-checkable cousin of the kernel SimHash (``sketch.py``'s fused
@@ -306,6 +307,18 @@ def portable_simhash_pairs(
                          "(15 hex chars of md5 keep the hash in a signed long)")
     block_bits = bits // n_blocks
     sh = portable_simhash(df, text_col=text_col, id_col=id_col, k=k, bits=bits)
+    # persist the signature table: the plan references it FOUR times (both
+    # block-join sides + both hydration sides), and without a
+    # materialization boundary CollapseProject inlines the 60-step
+    # higher-order majority aggregate into every reference — re-evaluated
+    # per ROW per reference by the interpreted lambda evaluator (measured:
+    # >7 min for 5,000 docs at sf0.1 vs ~10 s persisted).  Same rationale
+    # and ownership convention as candidate_pairs' bucket table.
+    from duplicatesuricate_spark.functions.util import persist_level
+
+    sh = sh.persist(persist_level())
+    if cache_registry is not None:
+        cache_registry.append(sh)
     blocks = sh.select(
         "doc_id",
         "simhash",

@@ -436,3 +436,83 @@ def test_stratified_cap_quota_and_determinism(spark):
     c = sorted(r.doc_id for r in
                stratified_cap(df, "grp", 20, salt=9).collect())
     assert len(c) == len(a) and c != a
+
+
+# ----------------------------------------------- round 5: plan-shape checks
+
+
+def test_round5_operator_plans_are_scale_safe(spark):
+    """The new operators must keep the plan shapes their docstrings claim:
+    no nested-loop/cartesian joins anywhere; decontamination broadcasts
+    the benchmark gram set; split/sample are pure map-side transforms
+    (no Exchange at all)."""
+    from duplicatesuricate_spark.operators.sampling import (
+        deterministic_sample,
+        deterministic_split,
+        stratified_cap,
+    )
+    from duplicatesuricate_spark.operators.textqa import (
+        gopher_filter,
+        ngram_decontaminate,
+        unigram_nll,
+        winnow_fingerprints,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"token{i} alpha beta gamma delta epsilon zeta {i}")
+         for i in range(50)],
+        "doc_id long, text string",
+    ).withColumn("grp", (F.col("doc_id") % 3).cast("string"))
+
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    for df in (
+        gopher_filter(docs),
+        winnow_fingerprints(docs),
+        ngram_decontaminate(docs, docs.limit(5)),
+        stratified_cap(docs, "grp", 10),
+    ):
+        p = plan_of(df)
+        assert "BroadcastNestedLoopJoin" not in p
+        assert "CartesianProductExec" not in p
+
+    # unigram_nll's one sanctioned cross join is the 1-row corpus total,
+    # and it must arrive broadcast (never a shuffled cartesian)
+    p = plan_of(unigram_nll(docs))
+    assert "CartesianProductExec" not in p
+    assert "BroadcastExchange" in p or "BroadcastHashJoin" in p
+
+    # decontamination: the bench gram set arrives via broadcast — the
+    # train side never shuffles for the join
+    p = plan_of(ngram_decontaminate(docs, docs.limit(5)))
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+
+    # split/sample: narrow transforms, zero exchanges
+    for df in (
+        deterministic_split(docs, {"train": 0.9, "test": 0.1}),
+        deterministic_sample(docs, 0.5),
+    ):
+        assert "Exchange" not in plan_of(df)
+
+
+def test_portable_simhash_pairs_materializes_signatures(spark):
+    """The signature table must sit behind a persist boundary: the plan
+    references it four times, and without materialization CollapseProject
+    inlines the 60-step interpreted majority aggregate into every
+    reference — re-evaluated per row per reference (measured >7 min for
+    5,000 docs vs ~10 s persisted)."""
+    from duplicatesuricate_spark.operators.lsh import portable_simhash_pairs
+
+    df = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon doc{i}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    owned: list = []
+    pairs = portable_simhash_pairs(df, cache_registry=owned)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
+    assert len(owned) == 1
+    pairs.count()
+    for c in owned:
+        c.unpersist()
