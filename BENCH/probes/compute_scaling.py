@@ -31,6 +31,10 @@ from duplicatesuricate_spark.sources.corpus import with_doc_identity  # noqa: E4
 def main() -> None:
     corpus_path = sys.argv[1]
     cores = int(sys.argv[2])
+    # same CPU pinning as scaling_worker.py (and same opt-out), so the
+    # compute-only probe emulates an N-core executor honestly too
+    if os.environ.get("SPARK_GRAFT_PIN_CPUS", "1") != "0":
+        os.sched_setaffinity(0, set(range(cores)))
     spark = get_spark(app_name=f"compute-{cores}", cores=cores,
                       shuffle_partitions=cores * 2)
     corpus = with_doc_identity(spark.read.parquet(corpus_path))
