@@ -180,6 +180,12 @@ def _q_stratified_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duplicatesuricate_spark.operators.textqa import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir), top_k=3)
+
+
 def _q_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup report: distribution of near-dup cluster sizes from the full
     MinHash-LSH pipeline (the B11 'report' operator as an oracle-checked
@@ -604,6 +610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deterministic_split": _q_deterministic_split,
         "ngram_decontaminate": _q_ngram_decontaminate,
         "stratified_cap": _q_stratified_cap,
+        "tfidf_top_terms": _q_tfidf_top_terms,
         "cluster_size_histogram": _q_cluster_size_histogram,
         "simhash_hamming_pairs": _q_simhash_pairs,
         "blocking_pairs": _q_blocking_pairs,
@@ -987,6 +994,30 @@ def oracle_sql() -> dict[str, str]:
                        as contaminated_grams,
                    coalesce(h.contaminated_grams, 0) > 0 as contaminated
             from documents d left join hits h using (doc_id)
+        """,
+        "tfidf_top_terms": f"""
+            with t as (
+              select doc_id, unnest({_TOKS}) as term from documents
+            ),
+            tf as (
+              select doc_id, term, count(*) as c from t group by 1, 2
+            ),
+            ntok as (select doc_id, sum(c) as n from tf group by 1),
+            dfreq as (select term, count(*) as df from tf group by 1),
+            nd as (select count(distinct doc_id) as n_docs from tf),
+            scored as (
+              select tf.doc_id, tf.term,
+                     round((tf.c::DOUBLE / ntok.n)
+                           * ln((select n_docs from nd)::DOUBLE / dfreq.df),
+                           6) as tfidf
+              from tf join ntok using (doc_id) join dfreq using (term)
+            )
+            select doc_id, term, tfidf, rank from (
+              select doc_id, term, tfidf,
+                     row_number() over (partition by doc_id
+                                        order by tfidf desc, term) as rank
+              from scored
+            ) where rank <= 3
         """,
         "stratified_cap": """
             select doc_id, lang from (

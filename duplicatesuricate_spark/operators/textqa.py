@@ -279,6 +279,55 @@ def ngram_decontaminate(
     )
 
 
+def tfidf_top_terms(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", top_k: int = 3) -> DataFrame:
+    """Top-``top_k`` most distinctive terms per document by TF-IDF
+    (tf = term count / doc tokens; idf = ln(N / df) over the corpus) —
+    the standard corpus-analytics signal for topic drift checks and
+    per-domain vocabulary reports in a training-data pipeline.
+
+    Deterministic across engines: tfidf is double arithmetic on integer
+    inputs (identical in Spark and DuckDB), the ranking orders by
+    (rounded tfidf desc, term asc) so ties break identically, and the
+    emitted value is rounded to 6 dp.
+
+    Scale: one explode + two hash aggregations (per-doc-term counts,
+    corpus document frequencies), one join on the term (the df table is
+    vocabulary-sized — AQE broadcasts it), one 1-row broadcast for N, and
+    one window partitioned by doc.  No pair blow-up anywhere."""
+    from pyspark.sql import Window
+
+    t = df.select(F.col(id_col).alias("doc_id"),
+                  F.explode(_toks(text_col)).alias("term"))
+    tf = t.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    n_tok = tf.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = tf.select("doc_id").distinct().agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    scored = (
+        tf.join(n_tok, "doc_id")
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                (F.col("c").cast("double") / F.col("n"))
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("doc_id", "term", "tfidf", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def repetition_signals(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", k: int = 3) -> DataFrame:
     """Gopher-style within-document repetition signals (Rae et al. 2021

@@ -44,6 +44,7 @@ NEW_ORACLE_QUERIES = [
     "cluster_size_histogram",
     "ngram_decontaminate",
     "stratified_cap",
+    "tfidf_top_terms",
 ]
 
 

@@ -516,3 +516,25 @@ def test_portable_simhash_pairs_materializes_signatures(spark):
     pairs.count()
     for c in owned:
         c.unpersist()
+
+
+def test_tfidf_top_terms_ranks_distinctive_first(spark):
+    from duplicatesuricate_spark.operators.textqa import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark spark spark shared"),
+            (2, "duck duck shared common"),
+            (3, "common shared words only"),
+        ],
+        "doc_id long, text string",
+    )
+    top = tfidf_top_terms(df, top_k=1).collect()
+    best = {r.doc_id: r.term for r in top}
+    # the corpus-unique high-frequency term wins; 'shared' (df=3, idf=0)
+    # never can
+    assert best[1] == "spark"
+    assert best[2] == "duck"
+    assert all(r.tfidf >= 0.0 for r in top)
+    ranks = {r.doc_id: r.rank for r in top}
+    assert set(ranks.values()) == {1}
