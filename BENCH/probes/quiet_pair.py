@@ -75,11 +75,16 @@ def _median(xs):
     return xs[mid] if n % 2 else (xs[mid - 1] + xs[mid]) / 2
 
 
+# round-5 advice: derive the efficiency pair from the ACTUAL legs run
+# (min/max core counts) instead of hard-coding (2, 8) — a custom argv[3]
+# leg set without both used to silently print 'incomplete'
+lo, hi = min(legs), max(legs)
 tp = {c: _median([x["files_per_sec"] for x in rows if x["cores"] == c])
-      for c in (2, 8)}
-if tp[2] and tp[8]:
-    print(json.dumps({"eff_2_to_8": round(tp[8] / tp[2] / 4, 3),
-                      "tp2_median": tp[2], "tp8_median": tp[8],
+      for c in (lo, hi)}
+if lo != hi and tp[lo] and tp[hi]:
+    print(json.dumps({f"eff_{lo}_to_{hi}":
+                      round(tp[hi] / tp[lo] / (hi / lo), 3),
+                      f"tp{lo}_median": tp[lo], f"tp{hi}_median": tp[hi],
                       "n_runs": len(rows)}))
 else:
     print(json.dumps({"quiet_pair": "incomplete", "rows": rows}))

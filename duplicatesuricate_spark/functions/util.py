@@ -43,7 +43,18 @@ def persist_level():
     """
     from pyspark import StorageLevel
 
-    return getattr(StorageLevel, persist_level_name())
+    name = persist_level_name()
+    level = getattr(StorageLevel, name, None)
+    if not isinstance(level, StorageLevel):
+        valid = sorted(
+            k for k, v in vars(StorageLevel).items()
+            if isinstance(v, StorageLevel)
+        )
+        raise ValueError(
+            f"SPARK_GRAFT_PERSIST_LEVEL={name!r} is not a StorageLevel; "
+            f"valid names: {', '.join(valid)}"
+        )
+    return level
 
 
 def persist_level_name() -> str:

@@ -107,19 +107,23 @@ def connected_components(
     Both paths emit identical labels (component min), so the switch is
     invisible to callers and to tests."""
     edges = pairs.select("id_a", "id_b").where(F.col("id_a") != F.col("id_b"))
-    sized = None
     if driver_threshold > 0:
-        sized = edges.persist()
-        edges = sized
-        n_edges = edges.count()
-        if n_edges <= driver_threshold:
+        # ONE driver job decides the gate AND fetches the edges: collect up
+        # to threshold+1 rows via limit + Arrow toPandas.  The old
+        # persist + count + toPandas shape paid two full jobs (plus a
+        # cached table) to learn the same thing; CollectLimit additionally
+        # ramps up partition-by-partition, so a small edge set costs one
+        # task, not one task per cached partition.  If the probe overflows
+        # (giant graph), the distributed loop below recomputes the edge
+        # lineage once into its first localCheckpoint — the same single
+        # pass the old count() spent on the gate.
+        probe = edges.limit(driver_threshold + 1).toPandas()
+        if len(probe) <= driver_threshold:
             # Arrow both ways: row-at-a-time py4j collect() / createDataFrame
             # serialize a few hundred thousand edges in tens of seconds of
             # pure driver time — toPandas + a pandas round-trip move the
             # same rows as two Arrow batches
-            pdf = edges.toPandas()
-            edges.unpersist()
-            rows = list(zip(pdf["id_a"].tolist(), pdf["id_b"].tolist()))
+            rows = list(zip(probe["id_a"].tolist(), probe["id_b"].tolist()))
             import pandas as pd
 
             out = pd.DataFrame(
@@ -129,19 +133,6 @@ def connected_components(
             return spark.createDataFrame(out, "doc_id long, cluster_id long")
     if checkpoint:
         edges = edges.localCheckpoint()
-        if sized is not None:
-            # the size gate's persist is superseded by the checkpointed
-            # edge set; dropping it keeps repeated CC calls from
-            # accumulating cached blocks for the session lifetime (same
-            # ownership rule as the LSH bucket table)
-            sized.unpersist()
-    elif sized is not None:
-        # no-checkpoint distributed path (round-4 advice): the gate's
-        # persist served only the count above — release it now rather than
-        # leak it for the session lifetime.  Iterations recompute the
-        # trivial select/filter from the source lineage, exactly as if the
-        # gate had been disabled (driver_threshold=0).
-        sized.unpersist()
     prev_sig = None
     for _ in range(max_iterations):
         edges = _small_star(_large_star(edges))

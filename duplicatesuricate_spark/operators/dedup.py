@@ -50,6 +50,9 @@ class DedupResult:
     # lazy per-stage partition metrics (lineage.METRICS_SCHEMA rows); cheap
     # to evaluate once the persisted stages are materialized
     metrics: DataFrame | None = None
+    # whether the MAIN stages (sketches, pairs) were persisted: only then
+    # is materializing ``metrics`` inside unpersist() a cheap cached pass
+    stages_persisted: bool = True
 
     def unpersist(self, blocking: bool = False) -> None:
         """Drop every block the pipeline persisted — and ONLY those.  Call
@@ -62,8 +65,11 @@ class DedupResult:
         are dropped would silently re-execute the whole candidate/score DAG
         (round-4 verdict item 3 / advice).  The rows are a few hundred
         ``(stage, partition_id, …)`` tuples — collecting them costs one
-        cheap pass over still-cached blocks."""
-        if self.metrics is not None:
+        cheap pass over still-cached blocks.  With ``persist=False`` the
+        sketch/pairs stages were never cached and that collect would
+        re-execute the whole DAG inside a cleanup call, so it is skipped
+        (round-5 advice)."""
+        if self.metrics is not None and self.stages_persisted:
             from duplicatesuricate_spark.plans.lineage import METRICS_SCHEMA
 
             spark = self.metrics.sparkSession
@@ -204,8 +210,12 @@ def dedup_pipeline(
 
     pair_sets = [near_pairs]
     if include_substring_pass:
+        # candidates come from the persisted chunk table (rep ids only),
+        # so verification can hydrate content from the RAW corpus — same
+        # rows by doc_id, without re-running the rep anti-join (scan +
+        # identity hash) once per hydration side
         sub = exact_substring_pairs(
-            reps, cfg, chunk_table=sketched.select("doc_id", "chunks"),
+            corpus, cfg, chunk_table=sketched.select("doc_id", "chunks"),
             cache_registry=owned,
         ).select(
             "id_a", "id_b",
@@ -275,5 +285,5 @@ def dedup_pipeline(
         metrics = metrics.unionByName(m)
     return DedupResult(
         assignments=assignments, pairs=all_pairs, sketches=sketched,
-        owned_caches=owned, metrics=metrics,
+        owned_caches=owned, metrics=metrics, stages_persisted=persist,
     )

@@ -231,8 +231,14 @@ def portable_simhash(
     notes).  Exposed separately so tests can compare the block join against
     an exhaustive hamming join on the same signatures."""
     from duplicatesuricate_spark.operators.textqa import tokens
+    from duplicatesuricate_spark.functions.util import ensure_min_partitions
 
-    t = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
+    # a single small input file scans as ONE partition and the interpreted
+    # 60-bit majority aggregate below then runs on one core; repartition up
+    # to cluster width first (no-op at real scale where scans are wide)
+    t = ensure_min_partitions(df).select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks")
+    )
     toks = F.col("toks")
     n = F.size(toks)
     grams = F.when(
@@ -307,18 +313,24 @@ def portable_simhash_pairs(
                          "(15 hex chars of md5 keep the hash in a signed long)")
     block_bits = bits // n_blocks
     sh = portable_simhash(df, text_col=text_col, id_col=id_col, k=k, bits=bits)
-    # persist the signature table: the plan references it FOUR times (both
-    # block-join sides + both hydration sides), and without a
-    # materialization boundary CollapseProject inlines the 60-step
-    # higher-order majority aggregate into every reference — re-evaluated
-    # per ROW per reference by the interpreted lambda evaluator (measured:
-    # >7 min for 5,000 docs at sf0.1 vs ~10 s persisted).  Same rationale
-    # and ownership convention as candidate_pairs' bucket table.
-    from duplicatesuricate_spark.functions.util import persist_level
-
-    sh = sh.persist(persist_level())
+    # A materialization boundary on the signature table is REQUIRED: the
+    # optimizer otherwise inlines the 60-step interpreted majority
+    # aggregate into every expression that references ``simhash`` (join
+    # key, null filter, carried column — re-verified this round: the
+    # boundary-less form measured 102 s for 500 docs vs 0.6 s with it).
+    # With a ``cache_registry`` the table is persisted and the caller owns
+    # the unpersist (same convention as candidate_pairs' bucket table);
+    # WITHOUT one it is lazily localCheckpoint'ed instead — blocks are
+    # released by the ContextCleaner once the result is garbage-collected,
+    # so registry-less callers (the contract query) no longer leak one
+    # cached table per call for the session lifetime (round-5 advice).
     if cache_registry is not None:
+        from duplicatesuricate_spark.functions.util import persist_level
+
+        sh = sh.persist(persist_level())
         cache_registry.append(sh)
+    else:
+        sh = sh.localCheckpoint(eager=False)
     blocks = sh.select(
         "doc_id",
         "simhash",
@@ -328,19 +340,17 @@ def portable_simhash_pairs(
         F.expr(f"shiftright(simhash, {block_bits} * j) & {(1 << block_bits) - 1}"),
     )
     a, b = blocks.alias("a"), blocks.alias("b")
-    cand = (
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("int")
+    return (
         a.join(b, ["j", "blk"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .distinct()
-    )
-    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sim_a"))
-    sb = sh.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sim_b"))
-    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int")
-    return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("hamming", hamming)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
         .where(F.col("hamming") <= hamming_threshold)
-        .select("id_a", "id_b", "hamming")
+        .distinct()
     )

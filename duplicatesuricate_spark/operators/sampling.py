@@ -27,12 +27,36 @@ _MOD = 1 << 32
 def split_bucket(id_col: Column | str, salt: int = 0,
                  n_buckets: int = 10_000) -> Column:
     """Deterministic bucket in ``[0, n_buckets)`` for an integer id column:
-    ``((id + salt) * KNUTH_MULT) mod 2^32 mod n_buckets``, exact int64
-    arithmetic throughout (ids and salt are assumed < 2^31, so the product
-    stays within int64 before the mod)."""
+    ``((id + salt) * KNUTH_MULT) mod 2^32 mod n_buckets`` in exact
+    modular arithmetic for the FULL signed-64-bit id range.
+
+    The multiply is done on the 16-bit halves of ``(id + salt) mod 2^32``
+    and folded mod 2^32 after each product, so no intermediate exceeds
+    2^49: the naive ``(id + salt) * KNUTH_MULT`` overflows int64 for
+    |id| >~ 3.5e9 — which ANSI mode (Spark 4's default) turns into a
+    runtime ARITHMETIC_OVERFLOW on exactly the ids this engine mints
+    (``doc_id = xxhash64(...)``, full-range signed 64-bit).  For ids in
+    the old documented domain (< 2^31) the result is bit-identical to the
+    old expression, because mod-2^32 arithmetic is a ring homomorphism:
+    ``((id + salt) * M) mod 2^32 == ((lo * M) mod 2^32
+    + ((hi * M mod 2^32) << 16) mod 2^32) mod 2^32`` for
+    ``lo/hi`` the 16-bit halves of ``(id + salt) mod 2^32``."""
     col = F.col(id_col) if isinstance(id_col, str) else id_col
-    mixed = (col + F.lit(salt)).cast("long") * F.lit(KNUTH_MULT)
-    return F.pmod(F.pmod(mixed, F.lit(_MOD)), F.lit(n_buckets))
+    m = F.lit(KNUTH_MULT)
+    mod = F.lit(_MOD)
+    # (id + salt) mod 2^32, overflow-free: reduce the id first (pmod keeps
+    # it in [0, 2^32)), then add the reduced salt (< 2^33 total)
+    s = F.pmod(
+        F.pmod(col.cast("long"), mod) + F.lit(salt % _MOD), mod
+    )
+    lo = s.bitwiseAND(F.lit(0xFFFF))
+    hi = F.shiftright(s, 16)
+    mixed = F.pmod(
+        F.pmod(lo * m, mod)
+        + F.pmod(F.shiftleft(F.pmod(hi * m, mod), 16), mod),
+        mod,
+    )
+    return F.pmod(mixed, F.lit(n_buckets))
 
 
 def deterministic_split(

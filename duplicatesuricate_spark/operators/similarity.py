@@ -35,6 +35,22 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return F.when(den > 0, _dot(a, b) / den).otherwise(F.lit(0.0))
 
 
+def _cosine_from_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """``cosine_expr`` with the two norms precomputed as columns.
+
+    Bit-identical to :func:`cosine_expr` (same fold for the dot product,
+    same ``sqrt(dot(v, v))`` per vector, same multiply/divide order) — but
+    the norm folds run ONCE PER ROW on each join side instead of once per
+    PAIR: the higher-order ``aggregate(zip_with(...))`` expressions are
+    interpreted (no codegen), and the old form evaluated five of them per
+    pair (dot + 2x norm_a + 2x norm_b after the CASE duplication, visible
+    in the physical plan).  Computing the norms in a projection BELOW the
+    join keeps CollapseProject from inlining them back into the per-pair
+    projection."""
+    den = na * nb
+    return F.when(den > 0, _dot(a, b) / den).otherwise(F.lit(0.0))
+
+
 def brute_force_topk(
     corpus: DataFrame,
     probes: DataFrame,
@@ -47,20 +63,34 @@ def brute_force_topk(
     ``probes`` is broadcast (it is the small side by construction); the
     corpus is scanned ONCE for all probes — the cross join is
     probe-count x corpus, executed map-side with zero shuffle of the
-    corpus.  Returns (probe_id, vec_id, cosine, rank)."""
+    corpus.  Vector norms are computed once per row on each side of the
+    join (see :func:`_cosine_from_norms`), so the per-pair work is a
+    single dot-product fold.  Returns (probe_id, vec_id, cosine, rank)."""
+    from duplicatesuricate_spark.functions.util import ensure_min_partitions
+
     p = F.broadcast(
         probes.select(
             F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
-        )
+        ).withColumn("_pn", _norm(F.col("probe_vec")))
     )
-    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    # a single small input file scans as ONE partition, serializing the
+    # whole interpreted cosine stage on one core; no-op at real scale
+    c = ensure_min_partitions(
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    ).withColumn("_vn", _norm(F.col("vec")))
     scored = (
         c.crossJoin(p)
         .where(F.col("probe_id") != F.col("vec_id"))
         .select(
             "probe_id",
             "vec_id",
-            F.round(cosine_expr(F.col("probe_vec"), F.col("vec")), 6).alias("cosine"),
+            F.round(
+                _cosine_from_norms(
+                    F.col("probe_vec"), F.col("vec"),
+                    F.col("_pn"), F.col("_vn"),
+                ),
+                6,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
@@ -115,15 +145,19 @@ def lsh_topk(
     the signature flipped — trading (n_planes+1)x probe fan-out for the
     recall lost to near-boundary sign flips).  The fan-out lives entirely
     on the broadcast probe side; the corpus is still scanned once."""
+    from duplicatesuricate_spark.functions.util import ensure_min_partitions
+
     planes = hyperplanes(dim, n_planes, seed)
     c = with_lsh_bucket(
-        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")),
+        ensure_min_partitions(
+            corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+        ),
         planes, "vec",
-    )
+    ).withColumn("_vn", _norm(F.col("vec")))
     p = with_lsh_bucket(
         probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")),
         planes, "probe_vec",
-    )
+    ).withColumn("_pn", _norm(F.col("probe_vec")))
     if multiprobe:
         neighbors = F.array(
             F.col("bucket"),
@@ -136,7 +170,13 @@ def lsh_topk(
         .select(
             "probe_id",
             "vec_id",
-            F.round(cosine_expr(F.col("probe_vec"), F.col("vec")), 6).alias("cosine"),
+            F.round(
+                _cosine_from_norms(
+                    F.col("probe_vec"), F.col("vec"),
+                    F.col("_pn"), F.col("_vn"),
+                ),
+                6,
+            ).alias("cosine"),
         )
     )
     # no dedup needed even with multiprobe: a corpus vector has exactly ONE
@@ -183,7 +223,11 @@ def embedding_near_dup_pairs(
       * candidate pairs are distinct'd BEFORE hydrating vectors, so the
         expensive cosine runs once per unique pair.
     """
-    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    from duplicatesuricate_spark.functions.util import ensure_min_partitions
+
+    c = ensure_min_partitions(
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    )
     sig_arr = F.array(*[
         bucket_expr("vec", hyperplanes(dim, n_planes, seed + 7919 * t))
         for t in range(n_tables)
@@ -253,15 +297,28 @@ def embedding_near_dup_pairs(
     )
 
     cand = pairs_small.unionByName(pairs_hot).unionByName(star_root).distinct()
-    va = c.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("vec_a"))
-    vb = c.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vec_b"))
+    # norms once per hydration row (not per pair): see _cosine_from_norms
+    va = c.select(
+        F.col("vec_id").alias("id_a"), F.col("vec").alias("vec_a"),
+        _norm(F.col("vec")).alias("_na"),
+    )
+    vb = c.select(
+        F.col("vec_id").alias("id_b"), F.col("vec").alias("vec_b"),
+        _norm(F.col("vec")).alias("_nb"),
+    )
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .select(
             "id_a",
             "id_b",
-            F.round(cosine_expr(F.col("vec_a"), F.col("vec_b")), 6).alias("cosine"),
+            F.round(
+                _cosine_from_norms(
+                    F.col("vec_a"), F.col("vec_b"),
+                    F.col("_na"), F.col("_nb"),
+                ),
+                6,
+            ).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )
@@ -301,14 +358,39 @@ def ivf_centroids(
     return [(r.cid, [float(x) for x in r.cvec]) for r in rows]
 
 
-def _cell_structs(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+def _centroid_norm(cv: list[float]) -> float:
+    """Euclidean norm of a pivot vector, accumulated in the exact order the
+    old Column fold used (sequential ``acc + x*x`` in IEEE double, then a
+    correctly-rounded sqrt) — so replacing the per-row Spark-side
+    ``sqrt(aggregate(zip_with(cv, cv, ...)))`` with this driver-side
+    literal is bit-identical."""
+    import math
+
+    acc = 0.0
+    for x in cv:
+        acc = acc + float(x) * float(x)
+    return math.sqrt(acc)
+
+
+def _cell_structs(
+    vec: Column, vec_norm: Column, centroids: list[tuple[int, list[float]]]
+) -> Column:
     """Array of (cosine-to-centroid, -cid) structs for argmax selection:
     struct comparison is lexicographic, so array_max picks the highest
     cosine and breaks ties toward the SMALLEST centroid id (matching the
-    oracle's ``order by cos desc, cid asc``)."""
+    oracle's ``order by cos desc, cid asc``).
+
+    ``vec_norm`` is the row vector's precomputed norm and each centroid's
+    norm is a driver-computed literal, so per row this evaluates ONE
+    interpreted dot-product fold per centroid instead of five (the old
+    ``cosine_expr`` form re-derived both norms inside every struct)."""
     return F.array(*[
         F.struct(
-            cosine_expr(vec, F.array(*[F.lit(x) for x in cv])).alias("cos"),
+            F.when(
+                vec_norm * F.lit(_centroid_norm(cv)) > 0,
+                _dot(vec, F.array(*[F.lit(float(x)) for x in cv]))
+                / (vec_norm * F.lit(_centroid_norm(cv))),
+            ).otherwise(F.lit(0.0)).alias("cos"),
             F.lit(-cid).cast("long").alias("negcid"),
         )
         for cid, cv in centroids
@@ -343,21 +425,34 @@ def ivf_topk(
     window over candidates from n_probe cells (~n_probe/n_centroids of
     the corpus, not all of it).  Returns (probe_id, vec_id, cosine, rank).
     """
+    from duplicatesuricate_spark.functions.util import ensure_min_partitions
+
     centroids = ivf_centroids(corpus, n_centroids, id_col, vec_col)
-    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    c = ensure_min_partitions(
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    ).withColumn("_vn", _norm(F.col("vec")))
+    # NB: "_vn" is referenced n_centroids times by the cell expression and
+    # is non-cheap, so CollapseProject keeps it in its own projection
+    # instead of inlining the fold per struct (verified in the plan)
     assigned = c.withColumn(
-        "cell", -F.array_max(_cell_structs(F.col("vec"), centroids))["negcid"]
+        "cell",
+        -F.array_max(
+            _cell_structs(F.col("vec"), F.col("_vn"), centroids)
+        )["negcid"],
     )
     p = probes.select(
         F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
-    )
+    ).withColumn("_pn", _norm(F.col("probe_vec")))
     probe_cells = p.withColumn(
         "cell",
         F.explode(
             F.transform(
                 F.slice(
                     F.sort_array(
-                        _cell_structs(F.col("probe_vec"), centroids), asc=False
+                        _cell_structs(
+                            F.col("probe_vec"), F.col("_pn"), centroids
+                        ),
+                        asc=False,
                     ),
                     1,
                     n_probe,
@@ -372,7 +467,13 @@ def ivf_topk(
         .select(
             "probe_id",
             "vec_id",
-            F.round(cosine_expr(F.col("probe_vec"), F.col("vec")), 6).alias("cosine"),
+            F.round(
+                _cosine_from_norms(
+                    F.col("probe_vec"), F.col("vec"),
+                    F.col("_pn"), F.col("_vn"),
+                ),
+                6,
+            ).alias("cosine"),
         )
     )
     # no dedup: a corpus vector lives in exactly one cell and a probe's

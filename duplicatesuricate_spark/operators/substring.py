@@ -58,10 +58,15 @@ def chunk_hashes(corpus: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> DataFr
     w = cfg.substring_window
     if "chunks" in corpus.columns:
         return corpus.select("doc_id", F.explode("chunks").alias("chunk_hash"))
+    from duplicatesuricate_spark.functions.util import ensure_min_partitions
+
     if "th" in corpus.columns:
         df = corpus.select("doc_id", "th")
     else:
-        df = corpus.select(
+        # raw-content path: a single small input file scans as ONE
+        # partition and the tokenize+chunk expressions below then run on
+        # one core; repartition up to cluster width (no-op at real scale)
+        df = ensure_min_partitions(corpus).select(
             "doc_id",
             F.transform(tokens_expr("content", cfg), lambda t: F.xxhash64(t)).alias("th"),
         )
@@ -105,29 +110,40 @@ def substring_candidates(
 ) -> DataFrame:
     """Candidate containment pairs from shared chunk hashes.
 
-    The chunk table is referenced four times (df-cap count, both join
-    sides, per-doc sizes): materialize it once or token hashing dominates
-    the whole pass."""
+    The chunk table is referenced three times (both join sides, per-doc
+    sizes): materialize it once or token hashing dominates the whole pass.
+    One explicit exchange on ``chunk_hash`` feeds the document-frequency
+    window, and the capped table is persisted WITH that partitioning so
+    the self-join and the size aggregation consume it from cache — the
+    old agg+join df-cap re-ran the cap aggregation and its join once per
+    plan reference (round-6 restructure, same shape as
+    textqa.ngram_jaccard_pairs)."""
     # persist, not localCheckpoint: survives executor loss on a real
     # cluster (partitions recompute from lineage; localCheckpoint blocks
     # do not — round-1 verdict item 8); level via persist_level()
     from duplicatesuricate_spark.functions.util import persist_level
+    from pyspark.sql import Window
 
-    ch = chunk_hashes(corpus, cfg).persist(persist_level())
+    ch = chunk_hashes(corpus, cfg).repartition("chunk_hash")
+    # document-frequency cap on hot chunks (boilerplate)
+    w_df = Window.partitionBy("chunk_hash")
+    ch = (
+        ch.withColumn("chunk_df", F.count(F.lit(1)).over(w_df))
+        .filter(F.col("chunk_df") <= cfg.hot_band_cap)
+        .persist(persist_level())
+    )
     # cache ownership convention (see lsh.candidate_pairs): looping callers
     # unpersist this once the returned pairs are materialized
     if cache_registry is not None:
         cache_registry.append(ch)
-    # document-frequency cap on hot chunks (boilerplate)
-    df_counts = ch.groupBy("chunk_hash").agg(F.count(F.lit(1)).alias("df"))
-    ch = ch.join(
-        df_counts.where(F.col("df") <= cfg.hot_band_cap).select("chunk_hash"),
-        "chunk_hash",
-    )
     per_doc = ch.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
 
-    a = ch.alias("a")
-    b = ch.alias("b")
+    # singleton chunks (df = 1) can never match across documents: drop
+    # them from the JOIN sides only — ``per_doc`` above still counts them,
+    # so the containment denominator is unchanged
+    j = ch.filter(F.col("chunk_df") >= 2).select("doc_id", "chunk_hash")
+    a = j.alias("a")
+    b = j.alias("b")
     matched = (
         a.join(b, "chunk_hash")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))

@@ -455,21 +455,38 @@ def ngram_jaccard_pairs(
     cache_registry: list | None = None,
 ) -> DataFrame:
     """n-gram Jaccard near-dup pairs, fully SQL-expressible (the oracle-
-    checkable cousin of the MinHash path): explode distinct k-gram md5s,
+    checkable cousin of the MinHash path): explode distinct k-gram keys,
     self-join on gram, count matches per pair, Jaccard by
     inclusion-exclusion.
+
+    Gram keys are 8-byte ``xxhash64`` values of the k-gram text (not the
+    32-char md5 hex the oracle uses): the operator's output only COUNTS
+    shared distinct grams, so any injective-enough gram key yields the
+    identical result (collision odds ~n_grams^2 / 2^65 — ~1e-8 even at
+    1M distinct grams) while shuffling ~5x fewer key bytes and comparing
+    longs instead of strings in the join (guide §2.3 "narrower types";
+    oracle equality re-verified at every sf).
 
     Scale: grams appearing in more than ``max_df`` documents (boilerplate)
     are dropped BEFORE the join — the join cost is then bounded by
     sum(df_g^2) <= max_df * |gram rows| instead of quadratic in the
     hottest gram.  Jaccard is computed over the CAPPED gram sets (sizes
     counted after the cap), a deterministic, oracle-reproducible
-    semantics."""
-    from duplicatesuricate_spark.functions.util import ensure_min_partitions
+    semantics.
 
-    # tokens materialized before the lambda (see with_shingles), and the
-    # gram table materialized ONCE: it is referenced four times below
-    # (df-cap count, both join sides, per-doc sizes)
+    Plan shape (this round): ONE explicit exchange on ``gram`` feeds the
+    document-frequency window, and the capped table is persisted WITH that
+    partitioning — the self-join and the per-doc size aggregation all
+    consume it from cache, so the old agg+join df-cap (which re-ran the
+    cap aggregation and its broadcast join once per plan reference — 37
+    exchanges in the round-5 plan) collapses to a window + two hash
+    aggregations (6 exchanges)."""
+    from duplicatesuricate_spark.functions.util import (
+        ensure_min_partitions, persist_level,
+    )
+    from pyspark.sql import Window
+
+    # tokens materialized before the lambda (see with_shingles)
     t = ensure_min_partitions(df).select(
         F.col(id_col).alias("doc_id"), _toks(text_col).alias("toks")
     )
@@ -479,33 +496,35 @@ def ngram_jaccard_pairs(
         n >= k,
         F.transform(
             F.sequence(F.lit(1), n - F.lit(k - 1)),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, k))),
         ),
-    ).otherwise(F.array(F.md5(F.concat_ws(" ", toks))))
+    ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", toks))))
+    g = t.select("doc_id", F.explode(F.array_distinct(grams)).alias("gram"))
+    # one exchange on the join key; the window below and both self-join
+    # sides reuse this partitioning (and its sort) from the cache
+    g = g.repartition("gram")
+    w_df = Window.partitionBy("gram")
+    g = g.withColumn("gram_df", F.count(F.lit(1)).over(w_df))
+    if max_df > 0:
+        g = g.filter(F.col("gram_df") <= max_df)
     # persist, not localCheckpoint: localCheckpoint blocks are lost on
     # executor failure mid-job on a real cluster, while persisted
     # partitions recompute from lineage (round-1 verdict item 8); level
     # via persist_level()
-    from duplicatesuricate_spark.functions.util import persist_level
-
-    g = t.select(
-        "doc_id", F.explode(F.array_distinct(grams)).alias("gram")
-    ).persist(persist_level())
+    g = g.persist(persist_level())
     # hand the persisted gram table to callers that loop (cache ownership
     # convention, see lsh.candidate_pairs)
     if cache_registry is not None:
         cache_registry.append(g)
-    if max_df > 0:
-        keep = (
-            g.groupBy("gram")
-            .agg(F.count(F.lit(1)).alias("gram_df"))
-            .where(F.col("gram_df") <= max_df)
-            .select("gram")
-        )
-        g = g.join(keep, "gram")
     sizes = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    a = g.alias("a")
-    b = g.alias("b")
+    # singleton grams (df = 1, the overwhelming majority of a natural
+    # corpus) can never match across documents: dropping them from the
+    # JOIN sides (sizes above still count them — the Jaccard denominator
+    # is unchanged) shrinks the self-join input ~10x, exactly like the
+    # singleton-bucket drop in lsh.candidate_pairs
+    j = g.filter(F.col("gram_df") >= 2).select("doc_id", "gram")
+    a = j.alias("a")
+    b = j.alias("b")
     matched = (
         a.join(b, "gram")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))

@@ -155,6 +155,11 @@ def incremental_dedup(
     # would put state and delta in incompatible shingle universes (~0
     # Jaccard across the boundary — round-1 advice fix).
     fresh = new_corpus.join(old_sk.select("doc_id"), "doc_id", "left_anti")
+    # a small delta arriving as one file/partition would serialize the
+    # compute-heavy sketch kernel on one core (no-op at real delta sizes)
+    from duplicatesuricate_spark.functions.util import ensure_min_partitions
+
+    fresh = ensure_min_partitions(fresh)
     # persisted so the final state append reads materialized blocks (the
     # union below computes exactly these partitions) instead of re-running
     # the sketch kernel — and so the append never re-scans the sketches
