@@ -260,42 +260,86 @@ def _q_similarity_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_token_set_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9 token-set kernel (reference ``tokenscore``, utils.py:187-201) over
     blocked pairs — oracle-checked: Jaccard of distinct lowercase token
-    sets rescaled to [-1, 1]."""
-    from duplicatesuricate_spark.functions.kernels import token_score
+    sets rescaled to [-1, 1].
 
-    d = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars", "text")
+    The token ARRAY is computed once per document BELOW the join (r06):
+    ``token_score`` over raw columns tokenizes both sides once per PAIR,
+    and blocked pair counts grow ~quadratically in block size while doc
+    counts do not.  Per-pair work is now just intersect/union over the
+    precomputed arrays — same expressions, identical values."""
+    from duplicatesuricate_spark.functions.kernels import (
+        _token_array, rescale_ratio,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang", "n_chars", "text",
+        _token_array(F.col("text")).alias("tk"),
+    )
     a, b = d.alias("a"), d.alias("b")
     pairs = (
         a.join(b, ["lang", "n_chars"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
     )
+    inter = F.size(F.array_intersect(F.col("a.tk"), F.col("b.tk")))
+    union = F.size(F.array_union(F.col("a.tk"), F.col("b.tk")))
+    jac = F.when(
+        union > 0, inter.cast("double") / union.cast("double")
+    ).otherwise(F.lit(0.0))
+    score = F.when(
+        F.col("a.text").isNull() | F.col("b.text").isNull(), F.lit(0.0)
+    ).otherwise(rescale_ratio(jac * F.lit(100.0)))
     return pairs.select(
         F.col("a.doc_id").alias("id_a"),
         F.col("b.doc_id").alias("id_b"),
-        F.round(token_score(F.col("a.text"), F.col("b.text")), 6).alias(
-            "text_tokenscore"
-        ),
+        F.round(score, 6).alias("text_tokenscore"),
     )
 
 
 def _q_acronym_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10 acronym kernel (reference ``compare_acronym``, utils.py:237-262)
     over blocked pairs — oracle-checked: best of tokenscore(acronym(a), b)
-    and tokenscore(a, acronym(b)) when both acronyms have >= 3 chars."""
-    from duplicatesuricate_spark.functions.kernels import acronym_score
+    and tokenscore(a, acronym(b)) when both acronyms have >= 3 chars.
 
-    d = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars", "text")
+    Like ``token_set_pairs`` (r06): the acronym string and both token
+    arrays are derived once per document BELOW the join; the per-pair work
+    is two intersect/union Jaccards and a greatest — identical values."""
+    from duplicatesuricate_spark.functions.kernels import (
+        _token_array, acronym_expr, rescale_ratio,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang", "n_chars", "text",
+        _token_array(F.col("text")).alias("tk"),
+        acronym_expr(F.col("text")).alias("ac"),
+    ).withColumn("ak", _token_array(F.col("ac")))
     a, b = d.alias("a"), d.alias("b")
     pairs = (
         a.join(b, ["lang", "n_chars"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
     )
+
+    def _tokscore(ta, tb):
+        inter = F.size(F.array_intersect(ta, tb))
+        union = F.size(F.array_union(ta, tb))
+        jac = F.when(
+            union > 0, inter.cast("double") / union.cast("double")
+        ).otherwise(F.lit(0.0))
+        return rescale_ratio(jac * F.lit(100.0))
+
+    usable = (F.length(F.col("a.ac")) >= 3) & (F.length(F.col("b.ac")) >= 3)
+    score = F.when(
+        F.col("a.text").isNull() | F.col("b.text").isNull() | ~usable,
+        F.lit(0.0),
+    ).otherwise(
+        F.greatest(
+            _tokscore(F.col("a.ak"), F.col("b.tk")),
+            _tokscore(F.col("a.tk"), F.col("b.ak")),
+        )
+    )
     return pairs.select(
         F.col("a.doc_id").alias("id_a"),
         F.col("b.doc_id").alias("id_b"),
-        F.round(acronym_score(F.col("a.text"), F.col("b.text")), 6).alias(
-            "text_acronymscore"
-        ),
+        F.round(score, 6).alias("text_acronymscore"),
     )
 
 

@@ -79,7 +79,7 @@ class DedupResult:
             df.unpersist(blocking)
 
 
-def exact_dup_map(corpus: DataFrame) -> DataFrame:
+def exact_dup_map(corpus: DataFrame, ids: DataFrame | None = None) -> DataFrame:
     """Slim ``(doc_id, rep_id)`` map of REDUNDANT byte-identical copies:
     one row per doc whose ``content_sha256`` group minimum is some other
     doc.  This is the single sha-window pass the whole exact pre-pass
@@ -87,11 +87,16 @@ def exact_dup_map(corpus: DataFrame) -> DataFrame:
     representative set is the corpus anti-joined against its ``doc_id``s.
     The checkpointed runner materializes THIS as its own stage so reps and
     exact_edges both read the parquet instead of each re-executing the
-    window (round-4 verdict "what's wrong" item 2)."""
+    window (round-4 verdict "what's wrong" item 2).
+
+    ``ids`` optionally supplies a precomputed (and typically persisted)
+    ``(doc_id, content_sha256)`` projection so the identity hashes are not
+    re-derived from the content column here (see ``dedup_pipeline``)."""
+    if ids is None:
+        ids = corpus.select("doc_id", "content_sha256")
     w = Window.partitionBy("content_sha256")
     return (
-        corpus.select("doc_id", "content_sha256")
-        .withColumn("rep_id", F.min("doc_id").over(w))
+        ids.withColumn("rep_id", F.min("doc_id").over(w))
         .where(F.col("doc_id") != F.col("rep_id"))
         .select("doc_id", "rep_id")
     )
@@ -99,6 +104,7 @@ def exact_dup_map(corpus: DataFrame) -> DataFrame:
 
 def exact_dup_edges(
     corpus: DataFrame, persist: bool = False, cache_registry: list | None = None,
+    ids: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Group byte-identical contents.
 
@@ -123,7 +129,7 @@ def exact_dup_edges(
     re-ran the window in every tree and cost ~10% wall (the broadcast
     subquery is a serial stage, exactly what scaling efficiency punishes).
     """
-    edges = exact_dup_map(corpus).select(
+    edges = exact_dup_map(corpus, ids=ids).select(
         F.col("rep_id").alias("id_a"), F.col("doc_id").alias("id_b")
     )
     if persist:
@@ -155,8 +161,20 @@ def dedup_pipeline(
         from duplicatesuricate_spark.sources.corpus import resolve_id_collisions
 
         corpus = resolve_id_collisions(corpus)
+    # slim (doc_id, content_sha256) identity projection, persisted ONCE:
+    # the sha window (exact pre-pass) and the final assignments join both
+    # consume it.  Deriving it per consumer re-scans the content column
+    # and recomputes its sha256 each time — at 100 TB that is a full
+    # corpus pass per consumer, while this map is ~0.04x the corpus bytes
+    # (MEMORY_AND_DISK: overflow spills, lineage recomputes on loss).
+    ids_slim = corpus.select("doc_id", "content_sha256")
+    if persist:
+        from duplicatesuricate_spark.functions.util import persist_level as _pl
+
+        ids_slim = ids_slim.persist(_pl())
+        owned.append(ids_slim)
     reps, exact_edges = exact_dup_edges(
-        corpus, persist=persist, cache_registry=owned
+        corpus, persist=persist, cache_registry=owned, ids=ids_slim
     )
 
     # shingling + sketching are compute-heavy per byte: make sure they are
@@ -256,9 +274,7 @@ def dedup_pipeline(
         stage_walls["pairs"] = int((_time.monotonic() - _t0) * 1000)
 
     comps = connected_components(all_pairs)
-    assignments = assignments_with_singletons(
-        corpus.select("doc_id", "content_sha256"), comps
-    )
+    assignments = assignments_with_singletons(ids_slim, comps)
     # per-partition lineage metrics for the DEFAULT path (north rule
     # "per-partition lineage + metrics"; round-3 verdict item 6 — formerly
     # only the checkpointed runner emitted these).  With ``persist=True``
