@@ -58,15 +58,18 @@ def chunk_hashes(corpus: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> DataFr
     w = cfg.substring_window
     if "chunks" in corpus.columns:
         return corpus.select("doc_id", F.explode("chunks").alias("chunk_hash"))
-    from duplicatesuricate_spark.functions.util import ensure_min_partitions
-
     if "th" in corpus.columns:
         df = corpus.select("doc_id", "th")
     else:
-        # raw-content path: a single small input file scans as ONE
-        # partition and the tokenize+chunk expressions below then run on
-        # one core; repartition up to cluster width (no-op at real scale)
-        df = ensure_min_partitions(corpus).select(
+        # raw-content path: deliberately NOT widened with a repartition —
+        # the JVM split(lower(...)) tokenizer is allocation-bound and
+        # anti-scales with concurrent tasks on this host class
+        # (BENCH/BASELINE.md round-2 controls; re-measured r06: widening
+        # to 32 tasks made this 1.7x SLOWER at 50k docs).  At real scale
+        # the scan is already wide and the question disappears; the
+        # pipeline path avoids JVM tokenization entirely (fused Arrow
+        # kernel chunks).
+        df = corpus.select(
             "doc_id",
             F.transform(tokens_expr("content", cfg), lambda t: F.xxhash64(t)).alias("th"),
         )
