@@ -32,11 +32,14 @@ from duplicatesuricate_spark.config import DedupConfig, DEFAULT_CONFIG
 
 
 def band_explode(sketched: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> DataFrame:
-    """(doc_id, minhash) -> (doc_id, band, band_hash), one row per band.
+    """(doc_id, minhash) -> (doc_id, band_hash), one row per band.
 
     Band hash = ``xxhash64(slice(minhash, band*rows+1, rows), band)``;
     mixing the band index into the hash keeps different bands with equal
-    slices from colliding into one join key.
+    slices from colliding into one join key — which is also why no
+    separate ``band`` column is carried (r06): it was redundant with the
+    hash and added a key column to every row of the candidate stage's
+    widest shuffle (~25% of the band-table bytes at 22 rows/doc).
     """
     rows = cfg.rows_per_band
     band_hashes = F.transform(
@@ -44,14 +47,14 @@ def band_explode(sketched: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> Data
         lambda b: F.xxhash64(F.slice(F.col("minhash"), b * rows + 1, rows), b),
     )
     return sketched.select(
-        "doc_id", F.posexplode(band_hashes).alias("band", "band_hash")
+        "doc_id", F.explode(band_hashes).alias("band_hash")
     )
 
 
 def simhash_block_explode(
     sketched: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG
 ) -> DataFrame:
-    """(doc_id, simhash) -> (doc_id, band, band_hash) over SimHash
+    """(doc_id, simhash) -> (doc_id, band_hash) over SimHash
     block-PAIR tables (Manku, Jain & Das Sarma, WWW'07, adapted).
 
     The 64-bit signature is split into ``simhash_blocks`` equal blocks and
@@ -70,8 +73,10 @@ def simhash_block_explode(
     cardinality; 32-bit paired keys push chance collisions out to ~10^9
     docs and the mega-bucket tier in :func:`candidate_pairs` guards beyond.
 
-    Band ids are offset by ``cfg.bands`` so they never collide with MinHash
-    band keys when the two channels are unioned before one join.
+    Table indexes are offset by ``cfg.bands`` inside the hash input so
+    these keys never collide with MinHash band keys when the two channels
+    are unioned before one join (no separate ``band`` column — see
+    ``band_explode``).
     """
     n = cfg.simhash_blocks
     width = 64 // n
@@ -87,15 +92,17 @@ def simhash_block_explode(
         for j in range(i + 1, n):
             keys.append(F.xxhash64(block(i), block(j), F.lit(len(keys) + cfg.bands)))
     return sketched.select(
-        "doc_id", F.posexplode(F.array(*keys)).alias("band", "band_hash")
-    ).withColumn("band", F.col("band") + F.lit(cfg.bands))
+        "doc_id", F.explode(F.array(*keys)).alias("band_hash")
+    )
 
 
 def candidate_pairs(
     bands: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG, persist: bool = True,
     cache_registry: list | None = None,
 ) -> DataFrame:
-    """(doc_id, band, band_hash) -> distinct canonical pairs (id_a < id_b).
+    """(doc_id, band_hash) -> distinct canonical pairs (id_a < id_b).
+    A legacy ``band`` column, if present, is ignored (the band index is
+    already mixed into the hash — see ``band_explode``).
 
     Pair canonicalization mirrors the reference's ``unique_pairs``
     (duplicatesuricate/retrain.py:43-65: drop self-pairs, order-insensitive
@@ -109,13 +116,13 @@ def candidate_pairs(
     lifetime, or nuking the whole session cache (round-3 advice items
     1-2).
     """
-    # bucketed repartitioning on the band keys: ONE explicit exchange that
+    # bucketed repartitioning on the band key: ONE explicit exchange that
     # the window count AND the self-join both consume.  No partition count
     # is pinned — using the session's shuffle-partition number lets the
     # window's required HashPartitioning match exactly (a different count
     # would force a second exchange) and lets AQE size it.
-    b = bands.repartition("band", "band_hash")
-    w = Window.partitionBy("band", "band_hash")
+    b = bands.select("doc_id", "band_hash").repartition("band_hash")
+    w = Window.partitionBy("band_hash")
     tagged = b.withColumn("bucket_n", F.count(F.lit(1)).over(w)).filter(
         # singleton buckets (the overwhelming majority of band rows — ~90%
         # at 1M docs) can never produce a pair; dropping them BEFORE the
@@ -139,11 +146,11 @@ def candidate_pairs(
 
     # --- normal buckets: full pairwise self-join ---
     small = tagged.filter(F.col("bucket_n") <= cfg.hot_band_cap).select(
-        "band", "band_hash", "doc_id"
+        "band_hash", "doc_id"
     )
     left = small.alias("a")
     right = small.alias("b")
-    pairs_small = left.join(right, ["band", "band_hash"]).where(
+    pairs_small = left.join(right, ["band_hash"]).where(
         F.col("a.doc_id") < F.col("b.doc_id")
     ).select(
         F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
@@ -167,27 +174,27 @@ def candidate_pairs(
     #     O(n) edges so an identical-content mass still reaches connected
     #     components through verification.
     #
-    # The salt hash mixes in the BAND: a pair split across salt groups in
-    # one hot band is split INDEPENDENTLY in every other hot band
+    # The salt hash mixes in the BAND KEY: a pair split across salt groups
+    # in one hot band is split INDEPENDENTLY in every other hot band
     # (P(split everywhere) ~ (1-1/s)^bands), instead of identically —
     # multi-band recovery is what the recall analysis relies on.
     hot_all = tagged.filter(F.col("bucket_n") > cfg.hot_band_cap).select(
-        "band", "band_hash", "doc_id", "bucket_n",
+        "band_hash", "doc_id", "bucket_n",
         F.pmod(
-            F.xxhash64("doc_id", "band", F.lit(cfg.seed)),
+            F.xxhash64("doc_id", "band_hash", F.lit(cfg.seed)),
             F.ceil(F.col("bucket_n") / F.lit(cfg.hot_band_cap)).cast("long"),
         ).alias("salt"),
     )
     cliq = hot_all.filter(F.col("bucket_n") <= cfg.mega_band_cap).select(
-        "band", "band_hash", "salt", "doc_id"
+        "band_hash", "salt", "doc_id"
     )
     pairs_hot = (
         cliq.alias("a")
-        .join(cliq.alias("b"), ["band", "band_hash", "salt"])
+        .join(cliq.alias("b"), ["band_hash", "salt"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
     )
-    sub_w = Window.partitionBy("band", "band_hash", "salt")
+    sub_w = Window.partitionBy("band_hash", "salt")
     sub = hot_all.withColumn("sub_min", F.min("doc_id").over(sub_w))
     star_leaf = (
         sub.where(
@@ -195,8 +202,8 @@ def candidate_pairs(
             & (F.col("doc_id") != F.col("sub_min"))
         ).select(F.col("sub_min").alias("id_a"), F.col("doc_id").alias("id_b"))
     )
-    reps = sub.select("band", "band_hash", "sub_min").distinct()
-    rep_w = Window.partitionBy("band", "band_hash")
+    reps = sub.select("band_hash", "sub_min").distinct()
+    rep_w = Window.partitionBy("band_hash")
     star_root = (
         reps.withColumn("g_min", F.min("sub_min").over(rep_w))
         .where(F.col("sub_min") != F.col("g_min"))

@@ -189,8 +189,8 @@ def incremental_dedup(
     )
     fresh_bands = band_explode(fresh_sk, cfg).unionByName(
         simhash_block_explode(fresh_sk, cfg)
-    ).select("band", "band_hash").distinct()
-    touched = all_bands.join(fresh_bands, ["band", "band_hash"], "left_semi")
+    ).select("band_hash").distinct()
+    touched = all_bands.join(fresh_bands, ["band_hash"], "left_semi")
     # owned caches: candidate_pairs persists its bucket table internally;
     # register it so THIS call can unpersist exactly its own intermediates
     # after the state is durably written (round-3 advice items 1-2 — a

@@ -50,7 +50,7 @@ def test_fixture_plants_a_mixed_hot_bucket(spark, hotmix):
     sk = with_full_sketches(corpus, cfg=CFG)
     bands = band_explode(sk, CFG).toPandas()
     bands["cluster"] = bands["doc_id"].map(doc_cluster)
-    g = bands.groupby(["band", "band_hash"]).agg(
+    g = bands.groupby(["band_hash"]).agg(
         n=("doc_id", "nunique"), k=("cluster", "nunique")
     )
     mixed_hot = g[(g["n"] > CFG.hot_band_cap) & (g["k"] == 2)]

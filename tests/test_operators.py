@@ -94,7 +94,9 @@ def test_band_explode_shape(spark):
     sk = _sketch_df(spark, [(1, "a b c d e f g"), (2, "h i j k l m n")])
     b = band_explode(sk)
     assert b.count() == 2 * DEFAULT_CONFIG.bands
-    assert b.select("band").distinct().count() == DEFAULT_CONFIG.bands
+    assert b.columns == ["doc_id", "band_hash"]
+    # band index is mixed into the hash: each doc's 16 band keys distinct
+    assert b.select("band_hash").distinct().count() == 2 * DEFAULT_CONFIG.bands
 
 
 def test_identical_docs_share_all_bands_and_pair(spark):

@@ -63,9 +63,9 @@ def test_checkpointed_sha_window_runs_once(spark, small_corpus, tmp_path, monkey
     calls = {"n": 0}
     real = dedup_mod.exact_dup_map
 
-    def counting(corpus):
+    def counting(corpus, ids=None):
         calls["n"] += 1
-        return real(corpus)
+        return real(corpus, ids=ids)
 
     monkeypatch.setattr(dedup_mod, "exact_dup_map", counting)
     out = run_dedup_checkpointed(spark, small_corpus, str(tmp_path / "wd"))
