@@ -40,7 +40,17 @@ def get_spark(
     if cores is None and cores_env:
         cores = int(cores_env)
     master = f"local[{cores}]" if cores else "local[*]"
-    n_shuffle = shuffle_partitions or (cores * 2 if cores else 32)
+    # 1x cores, not the former 2x: at local scale every shuffle stage ran
+    # two waves of near-empty tasks, and an interleaved A/B at both 5k and
+    # 50k docs measured 1x faster on every multi-shuffle query (dedup
+    # 7.9 -> 5.6 s, ngram 2.0 -> 1.2 s at sf0.1; dedup 13.8 -> 9.6 s at
+    # 10x) with no query slower.  On a real cluster the initial number
+    # should be sized to data (set SPARK_GRAFT_SHUFFLE_PARTITIONS or the
+    # shuffle_partitions argument; AQE coalesces/splits from there).
+    shuffle_env = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+    n_shuffle = shuffle_partitions or (
+        int(shuffle_env) if shuffle_env else (cores if cores else 32)
+    )
 
     # shuffle/spill scratch on tmpfs when it can actually hold the spill:
     # this sandbox's root disk is slow and near-full, and tmpfs pages skip
